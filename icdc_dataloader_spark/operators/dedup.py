@@ -1,0 +1,324 @@
+"""Deduplication operators.
+
+1. **LWW (last-writer-wins) CDC dedup** — the north-star operator.  The
+   reference's analogue is the duplicate-ID check (data_loader.py:660-692:
+   same id + same signature = benign, keep one; different signature = error)
+   combined with MERGE last-write-wins per id (data_loader.py:804-824).  At
+   10^10 events the winner per ``(repo, path)`` must be computed without
+   funneling a hot key through one task.
+
+2. **Training-data dedup family** over a document corpus: exact (hash
+   groupBy), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — see
+   the sibling functions below and operators/similarity.py.
+
+Scale notes (the reason for each design choice):
+
+- ``lww_dedup`` default strategy is ``agg``: ``max_by(struct(payload),
+  order_key)`` under ``groupBy(keys)``.  Spark's hash aggregate performs
+  *partial* (map-side) aggregation before the shuffle, so a hot key is
+  collapsed to one candidate row per map task before any data moves — the
+  two-phase merge the north rule asks for, with Catalyst doing phase one.
+- ``strategy='salted'`` makes the two phases explicit: groupBy(keys, salt)
+  -> local winner, then groupBy(keys) -> global winner.  Useful when the
+  payload is huge (partial agg buffers whole rows) and you want to bound
+  the per-task state by salting first.
+- ``strategy='window'`` (row_number over partitionBy(keys)) is provided for
+  completeness/tests but documented as the skew-prone plan: one task per
+  key partition regardless of AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def lww_order_key(seq_col: str = "seq", *tiebreakers: str) -> Column:
+    """Total order for LWW: (seq, *tiebreakers) — SURVEY.md §7.4.
+
+    Ties on ``seq`` (duplicate replays / equal-seq events) are broken
+    deterministically by the tiebreaker columns (engine default:
+    (seq, commit, sha2(content,256))), so any arrival order and any
+    partitioning yield the same winner.
+    """
+    return F.struct(F.col(seq_col), *[F.col(c) for c in tiebreakers])
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    tiebreakers: list[str] | None = None,
+    strategy: str = "agg",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """One winning row per key by max (seq, *tiebreakers).
+
+    Returns the full winning row (all columns of ``df``).
+    """
+    tiebreakers = tiebreakers or []
+    order = lww_order_key(seq_col, *tiebreakers)
+    payload_cols = [c for c in df.columns]
+
+    if strategy == "agg":
+        # Partial agg map-side => skew-resistant without explicit salt.
+        winner = (
+            df.groupBy(*keys)
+            .agg(F.max_by(F.struct(*payload_cols), order).alias("_w"))
+            .select("_w.*")
+        )
+        return winner
+
+    if strategy == "salted":
+        # Explicit two-phase: salt derived from the order key so same-key
+        # rows spread across `salt_buckets` reducers in phase one.
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
+        )
+        local = (
+            salted.groupBy(*keys, "_salt")
+            .agg(F.max_by(F.struct(*payload_cols), order).alias("_w"))
+            .select(*keys, "_w")
+        )
+        return (
+            local.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.col("_w"),
+                    F.struct(
+                        F.col(f"_w.{seq_col}"),
+                        *[F.col(f"_w.{c}") for c in tiebreakers],
+                    ),
+                ).alias("_w")
+            )
+            .select("_w.*")
+        )
+
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), *[F.col(c).desc() for c in tiebreakers]
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    raise ValueError(f"unknown lww strategy: {strategy}")
+
+
+# ---------------------------------------------------------------------------
+# Document-corpus dedup family (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: keep the min-id representative per md5.
+
+    Output: (rep_id, content_md5, dup_count).  Pure shuffle-on-hash groupBy
+    with map-side combine; scales linearly.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("rep_id", "content_md5", "dup_count")
+    )
+
+
+def _shingles(text_col: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (lower-cased, whitespace-split)."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes 64-bit min values over shingles.
+
+    All JVM-side: shingle -> xxhash64(shingle, seed_i) -> array_min.  No
+    Python in the loop; one narrow map stage.
+    Output: (id, sig: array<long>).
+    """
+    sh = _shingles(F.col(text_col), shingle_k)
+    mins = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), mins.alias("sig"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + bucket join.
+
+    shingle -> minhash -> split signature into ``bands`` bands -> hash each
+    band -> explode (band_id, band_hash) -> self-join on the bucket ->
+    estimate Jaccard from signature agreement -> filter by threshold.
+
+    The candidate join is an equi-join on (band_id, band_hash): co-located
+    by the shuffle, no cross product.  Output: (id_a, id_b, est_jaccard)
+    with id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("sig"), b * rows + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return (
+        pairs.select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc, JVM-side.
+
+    Each word hashes to 64 bits; the fingerprint bit_i = sign of the sum of
+    (+1/-1) over word-hash bit_i.  Expressed with aggregate() over the word
+    array — no shuffle, one map stage.
+    Output: (id, simhash: long).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # accumulate per-bit counts: array of `bits` ints
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def step(acc, w):
+        h = F.xxhash64(w)
+        return F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, d: a + d,
+        )
+
+    counts = F.aggregate(words, zero, step)
+    fingerprint = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing >=1 n-gram.
+
+    explode(distinct n-grams) -> self-join on the n-gram -> count shared ->
+    |A ∪ B| = |A| + |B| - shared.  The join is equi on the n-gram; frequency
+    cap (drop n-grams appearing in > 1000 docs) bounds the blow-up on
+    stop-phrase n-grams at scale.
+    Output: (id_a, id_b, jaccard).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
+    grams_capped = grams.join(
+        F.broadcast(freq.filter(F.col("df_") <= 1000).select("gram")), "gram"
+    )
+    a = grams_capped.select(F.col("id").alias("id_a"), "gram")
+    b = grams_capped.select(F.col("id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

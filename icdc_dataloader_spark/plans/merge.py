@@ -1,0 +1,205 @@
+"""MERGE INTO planner: set-oriented upsert/new/delete over a LakeTable.
+
+Replaces the reference's per-row Cypher writes (one bolt round-trip per row,
+data_loader.py:901-947) with one copy-on-write MERGE per micro-batch:
+
+- ``UPSERT_MODE`` (MERGE ... ON CREATE SET / ON MATCH SET,
+  data_loader.py:804-824)  -> op='upsert': LWW winner per key wins.
+- ``NEW_MODE`` (CREATE, abort if exists, data_loader.py:787-802,912-918)
+  -> op='new': an event whose key is currently live is quarantined to the
+  errors relation (reason ``node_exists_in_new_mode``) instead of aborting
+  the batch; the rest of the batch applies.
+- ``DELETE_MODE`` (data_loader.py:919-922) -> op='delete': a tombstone row
+  is stored so late (lower-seq) upserts arriving in later batches still
+  lose to the delete — global LWW independent of batch assignment.
+
+Physical plan, designed for 10^10 events:
+
+1. bucket the batch by key hash; collect the touched bucket ids (<= the
+   table's n_buckets, driver-side integers only);
+2. scan ONLY the touched buckets' data files (file pruning via the snapshot
+   manifest — the Spark analogue of the reference's id indexes,
+   create_index.py:60-95);
+3. union current ∪ batch and take the per-key max_by((seq, tiebreakers))
+   winner — partial aggregation map-side handles hot-key skew (the explicit
+   two-phase salted variant is operators/dedup.py);
+4. rewrite touched buckets, carry every untouched file forward in the new
+   snapshot, commit atomically keyed by batch_id (idempotent re-apply).
+
+The timestamps the reference sets in ON CREATE/ON MATCH (datetime(),
+data_loader.py:822-823) are deliberately replaced by ``_seq`` lineage
+columns (_created_seq/_updated_seq) so replays are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .lake import LakeTable, bucket_expr, _align
+
+INTERNAL_COLS = ["_seq", "_op", "_bucket", "_created_seq", "_updated_seq"]
+
+OP_UPSERT = "upsert"
+OP_NEW = "new"
+OP_DELETE = "delete"
+
+
+def table_schema(payload: T.StructType) -> T.StructType:
+    """Physical table schema = payload + CDC lineage columns."""
+    fields = list(payload.fields) + [
+        T.StructField("_seq", T.LongType(), True),
+        T.StructField("_op", T.StringType(), True),
+        T.StructField("_bucket", T.IntegerType(), True),
+        T.StructField("_created_seq", T.LongType(), True),
+        T.StructField("_updated_seq", T.LongType(), True),
+    ]
+    return T.StructType(fields)
+
+
+def read_state(spark: SparkSession, lake: LakeTable, version: int | None = None) -> DataFrame:
+    """User-facing current state: live rows only, lineage columns dropped."""
+    df = lake.read(spark, version=version)
+    return df.filter(F.col("_op") != OP_DELETE).drop(*[c for c in INTERNAL_COLS if c in df.columns])
+
+
+def merge_into(
+    spark: SparkSession,
+    lake: LakeTable,
+    batch_df: DataFrame,
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+    tiebreakers: list[str] | None = None,
+    batch_id=None,
+) -> dict:
+    """Apply one CDC batch. Returns {'version', 'metrics', 'noop', 'errors'}.
+
+    ``batch_df`` carries payload columns (a subset of the table payload is
+    fine — schema-evolution alignment fills NULLs), ``_seq`` and ``_op``.
+    """
+    if batch_id is not None and lake.is_batch_committed(batch_id):
+        return {
+            "version": lake.latest_version(),
+            "metrics": {},
+            "noop": True,
+            "errors": None,
+        }
+
+    key_cols = lake.key_cols()
+    n_buckets = lake.n_buckets()
+    schema = lake.schema()
+    tiebreakers = tiebreakers or []
+
+    batch = batch_df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
+    batch = batch.withColumn("_created_seq", F.col(seq_col)).withColumn(
+        "_updated_seq", F.col(seq_col)
+    )
+    batch = _align(batch, schema)
+
+    touched = sorted(
+        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+    )
+    snap = lake.snapshot()
+    if not touched:
+        version = lake.commit(
+            [], snap["files"], operation="merge-empty", batch_id=batch_id, metrics={}
+        )
+        return {"version": version, "metrics": {}, "noop": False, "errors": None}
+
+    current = lake.read(spark, buckets=touched)
+
+    # --- NEW_MODE conflicts: key already live => quarantine the event -------
+    live_keys = (
+        current.filter(F.col(op_col) != OP_DELETE).select(*key_cols).distinct()
+    )
+    flagged = batch.join(
+        live_keys.withColumn("_live", F.lit(True)), key_cols, "left"
+    )
+    errors = (
+        flagged.filter((F.col(op_col) == OP_NEW) & F.col("_live").isNotNull())
+        .select(
+            *key_cols,
+            F.col(seq_col).alias("seq"),
+            F.lit("node_exists_in_new_mode").alias("reason"),
+            F.lit("error").alias("severity"),
+        )
+    )
+    batch_ok = flagged.filter(
+        ~((F.col(op_col) == OP_NEW) & F.col("_live").isNotNull())
+    ).drop("_live")
+
+    # --- LWW merge: current ∪ batch, winner per key --------------------------
+    cur_tagged = current.withColumn("_src", F.lit("cur"))
+    bat_tagged = batch_ok.withColumn("_src", F.lit("batch"))
+    unioned = cur_tagged.unionByName(bat_tagged)
+
+    payload_cols = [f.name for f in schema.fields] + ["_src"]
+    order = F.struct(
+        F.col(seq_col), *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in tiebreakers]
+    )
+    winners = (
+        unioned.groupBy(*key_cols)
+        .agg(
+            F.max_by(F.struct(*payload_cols), order).alias("_w"),
+            F.max(
+                F.when(
+                    (F.col("_src") == "cur") & (F.col(op_col) != OP_DELETE), 1
+                ).otherwise(0)
+            ).alias("_had_live"),
+            F.min(
+                F.when(F.col(op_col) != OP_DELETE, F.col("_created_seq"))
+            ).alias("_first_seq"),
+        )
+        .select(
+            "_w.*",
+            "_had_live",
+            "_first_seq",
+        )
+    )
+    # preserve created lineage across updates (ON CREATE SET created, W1)
+    winners = winners.withColumn(
+        "_created_seq", F.coalesce(F.col("_first_seq"), F.col("_created_seq"))
+    )
+    winners = winners.persist()
+
+    m = winners.agg(
+        F.sum(
+            F.when(
+                (F.col("_src") == "batch")
+                & (F.col(op_col) != OP_DELETE)
+                & (F.col("_had_live") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("rows_inserted"),
+        F.sum(
+            F.when(
+                (F.col("_src") == "batch")
+                & (F.col(op_col) != OP_DELETE)
+                & (F.col("_had_live") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("rows_updated"),
+        F.sum(
+            F.when(
+                (F.col(op_col) == OP_DELETE) & (F.col("_had_live") == 1), 1
+            ).otherwise(0)
+        ).alias("rows_deleted"),
+        F.sum(F.when(F.col("_src") == "cur", 1).otherwise(0)).alias("rows_unchanged"),
+    ).collect()[0]
+    metrics = {k: int(m[k] or 0) for k in m.asDict()}
+
+    out = _align(winners.drop("_src", "_had_live", "_first_seq"), schema)
+    # co-locate by bucket for the write; AQE coalesces small outputs
+    out = out.repartition(max(len(touched), 1), "_bucket")
+
+    new_version = lake.latest_version() + 1
+    new_files = lake.write_data_files(out, new_version, schema)
+    winners.unpersist()
+
+    touched_set = set(touched)
+    carried = [f for f in snap["files"] if f["bucket"] not in touched_set]
+    version = lake.commit(
+        new_files, carried, operation="merge", batch_id=batch_id, metrics=metrics
+    )
+    return {"version": version, "metrics": metrics, "noop": False, "errors": errors}

@@ -1,0 +1,202 @@
+"""CDC tail pipeline: event batches -> validate -> LWW dedup -> MERGE -> commit.
+
+The set-oriented successor of the reference's two ingest paths:
+
+- batch load (loader.py / data_loader.py:267-372): check files -> validate
+  all -> (backup) -> load nodes -> load relationships, one Cypher per row;
+- SQS tail (file_loader.py:428-472): event -> stage -> validate -> upsert
+  -> ack-after-success.
+
+Per micro-batch here:
+
+1. **validate** (vectorized, one scan — operators/validate.py) against the
+   model; rows with severity=error are quarantined to the errors table,
+   never applied (reference: a file with validation errors is not loaded,
+   data_loader.py:255-262).  Delete events only need their key (V7,
+   data_loader.py:194-228).
+2. **parity column**: ``content_sha256 = sha2(content, 256)`` — the
+   per-row invariant the replay is judged on (BASELINE input_hint; the
+   reference's analogue is file md5/sha512 hashing, file_loader.py:98-113).
+3. **in-batch LWW dedup** on (seq, commit, content_sha256) — salted
+   two-phase aggregation (operators/dedup.py).
+4. **MERGE INTO** the lake table (plans/merge.py) — idempotent per
+   batch_id, exactly-once via atomic snapshot commit.
+5. **ledger**: per-bucket lineage (min/max seq, rows) + metrics recorded
+   only after the commit succeeded; resume consults the lake's committed
+   batch ids as the source of truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import Model
+from ..operators.dedup import lww_dedup
+from ..operators.validate import validation_errors
+from ..plans.lake import LakeTable, bucket_expr
+from ..plans.merge import OP_DELETE, merge_into
+from .ledger import CheckpointLedger
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake: LakeTable,
+        ledger: CheckpointLedger,
+        model: Model | None = None,
+        node_type: str = "repo_file",
+        key_cols: tuple = ("repo", "path"),
+        seq_col: str = "seq",
+        op_col: str = "op",
+        content_col: str = "content",
+        error_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.lake = lake
+        self.ledger = ledger
+        self.model = model
+        self.node_type = node_type
+        self.key_cols = list(key_cols)
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.content_col = content_col
+        self.error_dir = error_dir
+
+    # -- single batch ---------------------------------------------------------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id) -> dict:
+        bid = str(batch_id)
+        if self.lake.is_batch_committed(bid):
+            # heal the ledger after a crash between commit and record
+            if not self.ledger.is_applied(bid):
+                snap = self.lake.snapshot()
+                self.ledger.record(bid, snap["version"], {}, {})
+            return {"batch_id": bid, "noop": True}
+
+        deletes = batch_df.filter(F.col(self.op_col) == OP_DELETE)
+        upserts = batch_df.filter(F.col(self.op_col) != OP_DELETE)
+
+        # 1. validation (vectorized single scan); deletes only need their key
+        errors = None
+        if self.model is not None:
+            errors = validation_errors(
+                upserts, self.node_type, self.model, row_id_col=self.seq_col
+            )
+        key_missing = deletes.filter(
+            " OR ".join(f"{k} IS NULL" for k in self.key_cols)
+        ).select(
+            F.col(self.seq_col).cast("long").alias("row_id"),
+            F.lit(",".join(self.key_cols)).alias("property"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit("delete_missing_id").alias("reason"),
+            F.lit("error").alias("severity"),
+        )
+        errors = key_missing if errors is None else errors.unionByName(key_missing)
+
+        bad = errors.filter(F.col("severity") == "error").select("row_id").distinct()
+        valid = batch_df.join(
+            bad, batch_df[self.seq_col] == bad["row_id"], "left_anti"
+        )
+
+        # 2. parity column (input_hint invariant)
+        valid = valid.withColumn(
+            "content_sha256",
+            F.when(
+                F.col(self.op_col) != OP_DELETE,
+                F.sha2(F.coalesce(F.col(self.content_col), F.lit("")), 256),
+            ),
+        )
+        tiebreakers = ["commit", "content_sha256"]
+
+        # 3. in-batch LWW dedup (explicit two-phase salted aggregation)
+        winners = lww_dedup(
+            valid,
+            self.key_cols,
+            seq_col=self.seq_col,
+            tiebreakers=tiebreakers,
+            strategy="salted",
+        )
+
+        # 4. MERGE
+        staged = winners.withColumnRenamed(self.seq_col, "_seq").withColumnRenamed(
+            self.op_col, "_op"
+        )
+        res = merge_into(
+            self.spark,
+            self.lake,
+            staged,
+            tiebreakers=tiebreakers,
+            batch_id=bid,
+        )
+
+        # 5. error + lineage bookkeeping (after the commit point)
+        n_errors = 0
+        if self.error_dir:
+            out = os.path.join(self.error_dir, f"batch={bid}")
+            errors.write.mode("overwrite").parquet(out)
+            n_errors = self.spark.read.parquet(out).count()
+        merge_errors = res.get("errors")
+        if merge_errors is not None and self.error_dir:
+            out = os.path.join(self.error_dir, f"batch={bid}-merge")
+            merge_errors.write.mode("overwrite").parquet(out)
+
+        lineage_rows = (
+            valid.groupBy(
+                bucket_expr(self.key_cols, self.lake.n_buckets()).alias("bucket")
+            )
+            .agg(
+                F.min(self.seq_col).alias("min_seq"),
+                F.max(self.seq_col).alias("max_seq"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()
+        )
+        lineage = {
+            str(r["bucket"]): {
+                "min_seq": r["min_seq"],
+                "max_seq": r["max_seq"],
+                "rows": r["rows"],
+            }
+            for r in lineage_rows
+        }
+        metrics = dict(res["metrics"])
+        metrics["rows_quarantined"] = n_errors
+        self.ledger.record(bid, res["version"], metrics, lineage)
+        return {
+            "batch_id": bid,
+            "noop": False,
+            "version": res["version"],
+            "metrics": metrics,
+        }
+
+    # -- full tail loop ---------------------------------------------------------
+
+    def run(
+        self,
+        events: DataFrame,
+        batch_col: str = "batch_id",
+        max_batches: int | None = None,
+    ) -> dict:
+        """Drain all pending batches in batch-id order (resumable).
+
+        ``events`` is the full binlog table; each distinct ``batch_col``
+        value is one micro-batch.  Already-committed batches are no-ops.
+        """
+        batch_ids = [
+            r[0]
+            for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+        committed = self.lake.committed_batch_ids()
+        applied = []
+        for bid in batch_ids:
+            if max_batches is not None and len(applied) >= max_batches:
+                break
+            if str(bid) in committed:
+                continue
+            batch = events.filter(F.col(batch_col) == bid).drop(batch_col)
+            applied.append(self.apply_batch(batch, bid))
+        return {"applied": applied, "totals": self.ledger.totals()}

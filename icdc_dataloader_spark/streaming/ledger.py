@@ -1,0 +1,81 @@
+"""Checkpoint ledger: resumable replay state with per-partition lineage.
+
+Mirrors, set-oriented, what the reference keeps as in-memory counters and
+log lines (data_loader.py:168-177,341-363) plus SQS's delete-after-success
+contract (file_loader.py:441-445):
+
+- ``state.json`` (atomic rename): applied batch ids in order, cumulative
+  metrics, and per-batch records {batch_id, table version, metrics,
+  lineage}.  Lineage is per hash-bucket: min/max event seq and row count —
+  enough to audit which partition of the key space each batch touched and
+  to resume from the exact low-water seq per partition.
+- A batch is 'applied' only after the lake snapshot commit succeeded; a
+  crash between commit and ledger write is healed on resume by consulting
+  the lake's own committed_batch_ids (the source of truth), so the ledger
+  is a cache/index, never a second commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+class CheckpointLedger:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "state.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"applied": [], "batches": {}, "totals": {}}
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def applied(self) -> list[str]:
+        return list(self._load()["applied"])
+
+    def is_applied(self, batch_id) -> bool:
+        return str(batch_id) in set(self._load()["applied"])
+
+    def batch_record(self, batch_id) -> dict | None:
+        return self._load()["batches"].get(str(batch_id))
+
+    def totals(self) -> dict:
+        return dict(self._load()["totals"])
+
+    def record(
+        self, batch_id, version: int, metrics: dict, lineage: dict | None = None
+    ) -> None:
+        state = self._load()
+        bid = str(batch_id)
+        if bid in set(state["applied"]):
+            return
+        state["applied"].append(bid)
+        state["batches"][bid] = {
+            "version": version,
+            "metrics": metrics,
+            "lineage": lineage or {},
+        }
+        for k, v in (metrics or {}).items():
+            if isinstance(v, (int, float)):
+                state["totals"][k] = state["totals"].get(k, 0) + v
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self.path)
+
+    def low_water(self) -> dict:
+        """Per-bucket max applied seq — the resume watermark analogue."""
+        state = self._load()
+        lw: dict = {}
+        for rec in state["batches"].values():
+            for bucket, info in (rec.get("lineage") or {}).items():
+                cur = lw.get(bucket)
+                if cur is None or info.get("max_seq", 0) > cur:
+                    lw[bucket] = info.get("max_seq", 0)
+        return lw
