@@ -89,7 +89,10 @@ def gen_events_pandas(
             ],
         }
     )
-    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["seq"], unit="s")
+    # microsecond precision: Spark can't read parquet TIMESTAMP(NANOS)
+    df["ts"] = (pd.Timestamp("2024-01-01") + pd.to_timedelta(df["seq"], unit="s")).astype(
+        "datetime64[us]"
+    )
     order = rng.permutation(n_events) if shuffle_arrival else np.arange(n_events)
     df = df.iloc[order].reset_index(drop=True)
     # batches partition ARRIVAL order => seq is out of order within/between
