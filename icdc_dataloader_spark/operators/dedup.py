@@ -251,26 +251,26 @@ def simhash(
 
     def step(acc, w):
         h = F.xxhash64(w)
-        return F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            ),
-            lambda a, d: a + d,
+        deltas = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
         )
+        return F.zip_with(acc, deltas, lambda a, d: a + d)
 
     counts = F.aggregate(words, zero, step)
+    # bit i weight as a signed-long literal (bit 63 = sign bit)
+    weights = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+    bit_vals = F.zip_with(
+        counts,
+        F.array(*[F.lit(w).cast("long") for w in weights]),
+        lambda c, wgt: F.when(c > 0, wgt).otherwise(F.lit(0).cast("long")),
+    )
     fingerprint = F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+        bit_vals, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
     )
     return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
 

@@ -1,0 +1,815 @@
+"""Driver-contract queries: every SQL-expressible operator from SURVEY.md §2
+expressed over the driver-provided tables, each paired with a DuckDB oracle.
+
+Conventions that make the driver's value-hash comparison deterministic:
+
+- every computed column aliased identically in Spark and SQL;
+- money-ish double aggregates computed as exact DECIMAL(18,4) sums then one
+  cast to DOUBLE (identical bits regardless of partial-agg order);
+- similarity scores rounded to 6 digits; ratios to 4;
+- no raw timestamps or arrays in outputs (epoch seconds / joined strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TXT
+from .functions.identity import signature_expr
+from .model import Model, PropDef
+from .operators import dedup, relationships, similarity, validate
+from .functions import coerce
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col) -> F.Column:
+    """Exact decimal sum -> double (partial-agg-order independent)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+# a tiny model over the documents table, used by validation queries
+def documents_model() -> Model:
+    return Model(
+        nodes={
+            "document": {
+                "text": PropDef("text", "String", required=True),
+                "lang": PropDef("lang", "String", enum={"en", "de", "fr"}),
+                "n_chars": PropDef("n_chars", "Int", minimum=0, maximum=100000),
+            }
+        },
+        relationships={},
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline aggregations (A-family; reference A1-A6 analogues)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-03-15'
+      AND l_shipdate > DATE '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: LWW dedup — the north-star operator over the driver's events table
+# ---------------------------------------------------------------------------
+
+
+def lww_latest_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = dedup.lww_dedup(
+        ev, ["user_id", "event_type"], seq_col="event_id", strategy="salted"
+    )
+    return win.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id", "event_type")
+
+
+LWW_SQL = """
+SELECT user_id, event_type,
+       event_id AS last_event_id,
+       ROUND(value, 2) AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) rn FROM events)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Validation family (V2/V3/V5/V6, A2)
+# ---------------------------------------------------------------------------
+
+
+def required_prop_errors(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # inject guaranteed violations (same rows injected in the oracle SQL)
+    extra = spark.createDataFrame(
+        [(-1, None, "en", "src0", 0), (-2, "", "en", "src0", 0)],
+        docs.schema,
+    )
+    errs = validate.validation_errors(
+        docs.unionByName(extra), "document", documents_model(), row_id_col="doc_id"
+    )
+    return errs.filter(F.col("reason") == "value_empty").select(
+        "row_id", "property", "reason", "severity"
+    ).orderBy("row_id")
+
+
+REQUIRED_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1, NULL UNION ALL SELECT -2, ''
+)
+SELECT doc_id AS row_id, 'text' AS property, 'value_empty' AS reason,
+       'error' AS severity
+FROM all_docs WHERE text IS NULL OR text = ''
+ORDER BY row_id
+"""
+
+
+def enum_validation(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    errs = validate.validation_errors(
+        docs, "document", documents_model(), row_id_col="doc_id"
+    )
+    return errs.filter(F.col("reason") == "non_permissive_value").select(
+        "row_id", "property", "value", "reason"
+    ).orderBy("row_id")
+
+
+ENUM_SQL = """
+SELECT doc_id AS row_id, 'lang' AS property, lang AS value,
+       'non_permissive_value' AS reason
+FROM documents
+WHERE lang IS NOT NULL AND lang <> '' AND lang NOT IN ('en', 'de', 'fr')
+ORDER BY row_id
+"""
+
+
+def range_validation(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("value") < 0) | (F.col("value") > 450)).select(
+        F.col("event_id").alias("row_id"),
+        F.lit("value").alias("property"),
+        F.round("value", 2).alias("value"),
+        F.lit("out_of_range").alias("reason"),
+    ).orderBy("row_id")
+
+
+RANGE_SQL = """
+SELECT event_id AS row_id, 'value' AS property, ROUND(value, 2) AS value,
+       'out_of_range' AS reason
+FROM events WHERE value < 0 OR value > 450
+ORDER BY row_id
+"""
+
+
+def validation_report_grouping(spark, sf_dir):
+    errs = range_validation(spark, sf_dir)
+    return (
+        errs.groupBy("property", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("row_id"))).cast("array<string>"), ","
+            ).alias("row_ids"),
+        )
+        .orderBy("property")
+    )
+
+
+REPORT_SQL = """
+SELECT 'value' AS property, 'out_of_range' AS reason, COUNT(*) AS n,
+       array_to_string(list_sort(list(DISTINCT event_id)), ',') AS row_ids
+FROM events WHERE value < 0 OR value > 450
+GROUP BY 1, 2 ORDER BY property
+"""
+
+
+def dup_id_check(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = validate.duplicate_id_errors(
+        ev, ["user_id"], F.col("event_type"), row_id_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "n_rows",
+        "n_signatures",
+        F.lit("duplicate_id_conflicting_properties").alias("reason"),
+    ).orderBy("user_id")
+
+
+DUP_SQL = """
+SELECT user_id, COUNT(*) AS n_rows,
+       COUNT(DISTINCT event_type) AS n_signatures,
+       'duplicate_id_conflicting_properties' AS reason
+FROM events GROUP BY user_id HAVING COUNT(DISTINCT event_type) > 1
+ORDER BY user_id
+"""
+
+
+def missing_parent_anti_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    errs = validate.parent_exists_errors(
+        ev, cust, child_fk="user_id", parent_key="c_custkey", row_id_col="event_id"
+    )
+    return errs.select("row_id", F.col("value").alias("user_id"), "reason").orderBy(
+        "row_id"
+    )
+
+
+MISSING_PARENT_SQL = """
+SELECT event_id AS row_id, CAST(user_id AS VARCHAR) AS user_id,
+       'missing_parent' AS reason
+FROM events e
+WHERE user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
+ORDER BY row_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join family (J2/J3/J6/J9, as-of)
+# ---------------------------------------------------------------------------
+
+
+def parent_resolve_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    res = relationships.resolve_parents(
+        orders.withColumn("o_custkey_s", F.col("o_custkey").cast("string")),
+        cust.withColumn("c_custkey_s", F.col("c_custkey").cast("string")),
+        pointer_col="o_custkey_s",
+        parent_key="c_custkey_s",
+        rel_type="placed_by",
+        child_id_col="o_orderkey",
+    )
+    return (
+        res["edges"]
+        .groupBy("parent_id")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+        .orderBy(F.col("n_children").desc(), F.col("parent_id"))
+        .limit(20)
+    )
+
+
+PARENT_RESOLVE_SQL = """
+SELECT CAST(c_custkey AS VARCHAR) AS parent_id, COUNT(*) AS n_children
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY n_children DESC, parent_id LIMIT 20
+"""
+
+
+def one_to_one_conflict(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    edges = supp.select(
+        F.col("s_suppkey").cast("string").alias("child_id"),
+        F.lit("located_in").alias("rel_type"),
+        F.col("s_nationkey").cast("string").alias("parent_id"),
+    )
+    return relationships.one_to_one_conflicts(edges).orderBy("parent_id")
+
+
+CONFLICT_SQL = """
+SELECT CAST(s_nationkey AS VARCHAR) AS parent_id, 'located_in' AS rel_type,
+       COUNT(DISTINCT s_suppkey) AS n_children
+FROM supplier GROUP BY 1, 2 HAVING COUNT(DISTINCT s_suppkey) > 1
+ORDER BY parent_id
+"""
+
+
+def rel_stats_agg(spark, sf_dir):
+    """A4: the ICDC stats query shape (queries/ICDC_stats.cypher) over TPC-H."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+STATS_SQL = """
+SELECT r_name,
+       COUNT(DISTINCT n_nationkey) AS n_nations,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def as_of_join_last_signup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event_id"), "ts"
+    )
+    out = relationships.as_of_join(
+        left,
+        right,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["signup_event_id"],
+    )
+    return out.select(
+        "event_id", F.col("asof_signup_event_id").alias("last_signup_event_id")
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, event_id, ts, 1 AS side, NULL::BIGINT AS r_id
+  FROM events WHERE event_type <> 'signup'
+  UNION ALL
+  SELECT user_id, event_id, ts, 0 AS side, event_id AS r_id
+  FROM events WHERE event_type = 'signup'
+), c AS (
+  SELECT event_id, side,
+         last_value(r_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, r_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_event_id
+  FROM u
+)
+SELECT event_id, last_signup_event_id FROM c WHERE side = 1 ORDER BY event_id
+"""
+
+
+def cascade_delete_fixed(spark, sf_dir):
+    """J6 over the strict region->nation->customer->orders hierarchy: the
+    delete closure of one region, as golden counts (the iterative fixpoint
+    operator is operators/cascade.py, exercised in tests)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    )
+    cus = cust.join(nat, cust.c_nationkey == nat.n_nationkey, "left_semi")
+    ords = orders.join(cus, orders.o_custkey == cus.c_custkey, "left_semi")
+    return spark.createDataFrame(
+        [(nat.count(), cus.count(), ords.count())],
+        "n_nations long, n_customers long, n_orders long",
+    )
+
+
+CASCADE_SQL = """
+WITH nat AS (SELECT n_nationkey FROM nation
+             WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name='ASIA')),
+     cus AS (SELECT c_custkey FROM customer WHERE c_nationkey IN (SELECT n_nationkey FROM nat)),
+     ords AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM cus))
+SELECT (SELECT COUNT(*) FROM nat) AS n_nations,
+       (SELECT COUNT(*) FROM cus) AS n_customers,
+       (SELECT COUNT(*) FROM ords) AS n_orders
+"""
+
+
+def top_k_per_group(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        _dsum(F.col("value")).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "total_value", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+TOPK_SQL = """
+SELECT event_type, user_id, total_value, rank FROM (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) DESC,
+                                     user_id) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 3 ORDER BY event_type, rank
+"""
+
+
+def per_type_counters(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+COUNTERS_SQL = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hash / identity family (P5/P9/P12, P2 coercion)
+# ---------------------------------------------------------------------------
+
+
+def content_sha256_parity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    ).orderBy("doc_id")
+
+
+SHA_SQL = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id"
+
+
+def signature_md5(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(signature_expr(["doc_id", "lang"])).alias("sig_md5")
+    ).orderBy("doc_id")
+
+
+SIG_SQL = """
+SELECT doc_id,
+       md5('{ ' || 'doc_id: ' || CAST(doc_id AS VARCHAR) || ', ' ||
+           'lang: ' || COALESCE(lang, 'None') || ' }') AS sig_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def boolean_coercion_parity(spark, sf_dir):
+    corpus = [
+        "yes", "YeS13", "no", " Normal ", "true", "FALSE", "ltf", "abc", "",
+        "maybe true", "NOPE",
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(corpus)], "i long, v string")
+    return df.select(
+        "i", "v", coerce.boolean_expr(F.col("v")).alias("coerced")
+    ).orderBy("i")
+
+
+BOOL_SQL = """
+SELECT i, v,
+       CASE WHEN regexp_matches(v, '(?i)yes|true') THEN TRUE
+            WHEN regexp_matches(v, '(?i)no|false') THEN FALSE
+            ELSE NULL END AS coerced
+FROM (VALUES (0,'yes'),(1,'YeS13'),(2,'no'),(3,' Normal '),(4,'true'),
+             (5,'FALSE'),(6,'ltf'),(7,'abc'),(8,''),(9,'maybe true'),
+             (10,'NOPE')) t(i, v)
+ORDER BY i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data family: dedup, text analysis, similarity
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("rep_id")
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS rep_id, md5(text) AS content_md5, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY rep_id
+"""
+
+
+def token_count_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(c).alias("n_tokens"),
+        F.round(TXT.mean_token_length(c), 4).alias("mean_token_len"),
+        F.round(TXT.stopword_ratio(c), 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+TOKEN_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ltoks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END, 4) AS mean_token_len,
+       ROUND(CASE WHEN len(ltoks) > 0
+             THEN len(list_filter(ltoks, x -> x IN ({','.join("'" + s + "'" for s in TXT.EN_STOPWORDS)})))
+                  / CAST(len(ltoks) AS DOUBLE)
+             ELSE 0.0 END, 4) AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def lang_id_heuristic(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scores = TXT.lang_scores(F.col("text"))
+    long = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("lang"), v.alias("score"))
+                    for k, v in sorted(scores.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.lang", "s.score")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").desc())
+    best = long.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        F.when(F.col("score") > 0, F.col("lang")).otherwise("und").alias("pred_lang"),
+        F.col("score").alias("best_score"),
+    ).orderBy("doc_id")
+
+
+def _lang_markers_sql() -> str:
+    rows = []
+    for lang, markers in sorted(TXT.LANG_MARKERS.items()):
+        in_list = ",".join(f"'{m}'" for m in markers)
+        rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"CASE WHEN len(ltoks) > 0 THEN ROUND(len(list_filter(ltoks, x -> x IN ({in_list})))"
+            f" / CAST(len(ltoks) AS DOUBLE), 6) ELSE 0.0 END AS score FROM t"
+        )
+    return " UNION ALL ".join(rows)
+
+
+LANG_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ltoks
+  FROM documents
+), long AS ({_lang_markers_sql()}),
+ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM long
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       score AS best_score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i+1:i+3], ' ') AS gram
+  FROM toks, UNNEST(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END)) AS u(i)
+  WHERE len(w) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS gram FROM toks WHERE len(w) < 3
+), sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+capped AS (
+  SELECT g.* FROM grams g
+  JOIN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 1000) f USING (gram)
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM capped a JOIN capped b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       shared / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk(corpus, queries, k=5).orderBy("query_id", "rank")
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))), 6) AS sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# --- rows-only queries (no SQL-expressible oracle; driver does row checks) --
+
+
+def minhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("id")
+
+
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def uuid5_synthesis(spark, sf_dir):
+    from .functions.identity import make_uuid5_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    u = make_uuid5_udf("repos.example.org")
+    return docs.select(
+        "doc_id",
+        u(F.lit("document"), F.col("doc_id").cast("string")).alias("uuid"),
+    ).orderBy("doc_id")
+
+
+def lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.lsh_topk(corpus, queries, dim=64, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_cosine_near_dups(emb, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "lww_latest_event": lww_latest_event,
+    "required_prop_errors": required_prop_errors,
+    "enum_validation": enum_validation,
+    "range_validation": range_validation,
+    "validation_report_grouping": validation_report_grouping,
+    "dup_id_check": dup_id_check,
+    "missing_parent_anti_join": missing_parent_anti_join,
+    "parent_resolve_join": parent_resolve_join,
+    "one_to_one_conflict": one_to_one_conflict,
+    "rel_stats_agg": rel_stats_agg,
+    "as_of_join_last_signup": as_of_join_last_signup,
+    "cascade_delete_fixed": cascade_delete_fixed,
+    "top_k_per_group": top_k_per_group,
+    "per_type_counters": per_type_counters,
+    "content_sha256_parity": content_sha256_parity,
+    "signature_md5": signature_md5,
+    "boolean_coercion_parity": boolean_coercion_parity,
+    "exact_dedup_docs": exact_dedup_docs,
+    "token_count_quality": token_count_quality,
+    "lang_id_heuristic": lang_id_heuristic,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "ann_cosine_topk": ann_cosine_topk,
+    # rows-only (non-SQL-expressible: hash functions / approximate)
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_fingerprints": simhash_fingerprints,
+    "doc_fingerprints": doc_fingerprints,
+    "uuid5_synthesis": uuid5_synthesis,
+    "lsh_ann_topk": lsh_ann_topk,
+    "embedding_near_dups": embedding_near_dups,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "lww_latest_event": LWW_SQL,
+    "required_prop_errors": REQUIRED_SQL,
+    "enum_validation": ENUM_SQL,
+    "range_validation": RANGE_SQL,
+    "validation_report_grouping": REPORT_SQL,
+    "dup_id_check": DUP_SQL,
+    "missing_parent_anti_join": MISSING_PARENT_SQL,
+    "parent_resolve_join": PARENT_RESOLVE_SQL,
+    "one_to_one_conflict": CONFLICT_SQL,
+    "rel_stats_agg": STATS_SQL,
+    "as_of_join_last_signup": ASOF_SQL,
+    "cascade_delete_fixed": CASCADE_SQL,
+    "top_k_per_group": TOPK_SQL,
+    "per_type_counters": COUNTERS_SQL,
+    "content_sha256_parity": SHA_SQL,
+    "signature_md5": SIG_SQL,
+    "boolean_coercion_parity": BOOL_SQL,
+    "exact_dedup_docs": EXACT_DEDUP_SQL,
+    "token_count_quality": TOKEN_SQL,
+    "lang_id_heuristic": LANG_SQL,
+    "ngram_jaccard_docs": NGRAM_SQL,
+    "ann_cosine_topk": ANN_SQL,
+}
