@@ -1,0 +1,103 @@
+"""Per-round bench harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus an end-to-end CDC
+pipeline throughput measurement on synthetic events, and prints ONE JSON
+line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "cdc_events_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "lww_latest_event",
+    "dup_id_check",
+    "rel_stats_agg",
+    "as_of_join_last_signup",
+    "top_k_per_group",
+    "exact_dedup_docs",
+    "token_count_quality",
+    "lang_id_heuristic",
+    "minhash_near_dups",
+    "ann_cosine_topk",
+    "content_sha256_parity",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_cdc_events = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "2000000"))
+
+    from icdc_dataloader_spark.queries import QUERIES
+    from icdc_dataloader_spark.repos import make_pipeline
+    from icdc_dataloader_spark.session import get_spark
+    from icdc_dataloader_spark.sources.gen import gen_events_spark
+
+    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
+
+    timings = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end CDC pipeline: generate once, then time the tail loop
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        events_path = os.path.join(workdir, "events")
+        gen_events_spark(
+            spark,
+            n_cdc_events,
+            n_repos=max(1000, n_cdc_events // 100),
+            n_batches=4,
+            zipf_k=3.0,
+        ).write.mode("overwrite").parquet(events_path)
+        pipe = make_pipeline(spark, os.path.join(workdir, "out"), n_buckets=cpus)
+        events = spark.read.parquet(events_path)
+        t0 = time.time()
+        pipe.run(events)
+        cdc_sec = time.time() - t0
+        timings["cdc_pipeline"] = round(cdc_sec, 3)
+        cdc_eps = round(n_cdc_events / cdc_sec, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    sf = 0.1
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_cdc_events,
+                "cdc_events_per_sec": cdc_eps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

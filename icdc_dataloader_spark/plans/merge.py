@@ -72,6 +72,7 @@ def merge_into(
     op_col: str = "_op",
     tiebreakers: list[str] | None = None,
     batch_id=None,
+    error_sink=None,
 ) -> dict:
     """Apply one CDC batch. Returns {'version', 'metrics', 'noop', 'errors'}.
 
@@ -95,13 +96,16 @@ def merge_into(
     batch = batch.withColumn("_created_seq", F.col(seq_col)).withColumn(
         "_updated_seq", F.col(seq_col)
     )
-    batch = _align(batch, schema)
+    # materialize the staged batch once: the bucket collect, the NEW-conflict
+    # join and the LWW union all reuse it instead of recomputing its lineage
+    batch = _align(batch, schema).persist()
 
     touched = sorted(
         r["_bucket"] for r in batch.select("_bucket").distinct().collect()
     )
     snap = lake.snapshot()
     if not touched:
+        batch.unpersist()
         version = lake.commit(
             [], snap["files"], operation="merge-empty", batch_id=batch_id, metrics={}
         )
@@ -109,59 +113,67 @@ def merge_into(
 
     current = lake.read(spark, buckets=touched)
 
-    # --- NEW_MODE conflicts: key already live => quarantine the event -------
-    live_keys = (
-        current.filter(F.col(op_col) != OP_DELETE).select(*key_cols).distinct()
-    )
-    flagged = batch.join(
-        live_keys.withColumn("_live", F.lit(True)), key_cols, "left"
-    )
-    errors = (
-        flagged.filter((F.col(op_col) == OP_NEW) & F.col("_live").isNotNull())
-        .select(
-            *key_cols,
-            F.col(seq_col).alias("seq"),
-            F.lit("node_exists_in_new_mode").alias("reason"),
-            F.lit("error").alias("severity"),
-        )
-    )
-    batch_ok = flagged.filter(
-        ~((F.col(op_col) == OP_NEW) & F.col("_live").isNotNull())
-    ).drop("_live")
-
-    # --- LWW merge: current ∪ batch, winner per key --------------------------
+    # --- single-aggregation LWW merge ----------------------------------------
+    # ONE shuffle of the payload per batch: current ∪ batch grouped by key,
+    # with the global winner, the batch-side winner (for NEW-conflict
+    # detection), the (unique) current row, liveness and created-lineage all
+    # computed in the same hash aggregate.  Map-side partial aggregation is
+    # the first phase of the two-phase (salted) merge — a hot key collapses
+    # to one candidate per map task before any data moves.
     cur_tagged = current.withColumn("_src", F.lit("cur"))
-    bat_tagged = batch_ok.withColumn("_src", F.lit("batch"))
+    bat_tagged = batch.withColumn("_src", F.lit("batch"))
     unioned = cur_tagged.unionByName(bat_tagged)
 
     payload_cols = [f.name for f in schema.fields] + ["_src"]
+    payload = F.struct(*payload_cols)
     order = F.struct(
-        F.col(seq_col), *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in tiebreakers]
+        F.col(seq_col),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in tiebreakers],
     )
-    winners = (
-        unioned.groupBy(*key_cols)
-        .agg(
-            F.max_by(F.struct(*payload_cols), order).alias("_w"),
-            F.max(
-                F.when(
-                    (F.col("_src") == "cur") & (F.col(op_col) != OP_DELETE), 1
-                ).otherwise(0)
-            ).alias("_had_live"),
-            F.min(
-                F.when(F.col(op_col) != OP_DELETE, F.col("_created_seq"))
-            ).alias("_first_seq"),
-        )
-        .select(
-            "_w.*",
-            "_had_live",
-            "_first_seq",
-        )
+    is_batch = F.col("_src") == "batch"
+    is_cur = F.col("_src") == "cur"
+    agg = unioned.groupBy(*key_cols).agg(
+        F.max_by(payload, order).alias("_w"),
+        F.max_by(F.when(is_batch, payload), F.when(is_batch, order)).alias("_bw"),
+        F.max(F.when(is_cur, payload)).alias("_cw"),  # <=1 current row per key
+        F.max(
+            F.when(is_cur & (F.col(op_col) != OP_DELETE), 1).otherwise(0)
+        ).alias("_had_live"),
+        F.min(F.when(F.col(op_col) != OP_DELETE, F.col("_created_seq"))).alias(
+            "_first_seq"
+        ),
+    )
+    # NEW_MODE (W2, data_loader.py:912-918): if the batch's winning event is
+    # a 'new' on a live key, the whole batch contribution for that key is
+    # rejected — the current row stands, and an error row is emitted.
+    conflict = (
+        F.col("_bw").isNotNull()
+        & (F.col("_bw")[op_col] == OP_NEW)
+        & (F.col("_had_live") == 1)
+    )
+    winners = agg.select(
+        *key_cols,
+        F.when(conflict, F.col("_cw")).otherwise(F.col("_w")).alias("_w"),
+        conflict.alias("_conflict"),
+        F.col("_bw").isNotNull().alias("_has_batch"),
+        "_had_live",
+        "_first_seq",
+    ).select(
+        "_w.*", "_conflict", "_has_batch", "_had_live", "_first_seq"
     )
     # preserve created lineage across updates (ON CREATE SET created, W1)
     winners = winners.withColumn(
         "_created_seq", F.coalesce(F.col("_first_seq"), F.col("_created_seq"))
     )
     winners = winners.persist()
+
+    errors = winners.filter(F.col("_conflict")).select(
+        *key_cols,
+        F.lit("node_exists_in_new_mode").alias("reason"),
+        F.lit("error").alias("severity"),
+    )
+    if error_sink is not None:
+        error_sink(errors)
 
     m = winners.agg(
         F.sum(
@@ -182,20 +194,27 @@ def merge_into(
         ).alias("rows_updated"),
         F.sum(
             F.when(
-                (F.col(op_col) == OP_DELETE) & (F.col("_had_live") == 1), 1
+                (F.col("_src") == "batch")
+                & (F.col(op_col) == OP_DELETE)
+                & (F.col("_had_live") == 1),
+                1,
             ).otherwise(0)
         ).alias("rows_deleted"),
         F.sum(F.when(F.col("_src") == "cur", 1).otherwise(0)).alias("rows_unchanged"),
     ).collect()[0]
     metrics = {k: int(m[k] or 0) for k in m.asDict()}
 
-    out = _align(winners.drop("_src", "_had_live", "_first_seq"), schema)
+    out = _align(
+        winners.drop("_src", "_had_live", "_first_seq", "_conflict", "_has_batch"),
+        schema,
+    )
     # co-locate by bucket for the write; AQE coalesces small outputs
     out = out.repartition(max(len(touched), 1), "_bucket")
 
     new_version = lake.latest_version() + 1
     new_files = lake.write_data_files(out, new_version, schema)
     winners.unpersist()
+    batch.unpersist()
 
     touched_set = set(touched)
     carried = [f for f in snap["files"] if f["bucket"] not in touched_set]

@@ -54,6 +54,7 @@ class CDCPipeline:
         op_col: str = "op",
         content_col: str = "content",
         error_dir: str | None = None,
+        pre_dedup: bool = False,
     ):
         self.spark = spark
         self.lake = lake
@@ -65,6 +66,7 @@ class CDCPipeline:
         self.op_col = op_col
         self.content_col = content_col
         self.error_dir = error_dir
+        self.pre_dedup = pre_dedup
 
     # -- single batch ---------------------------------------------------------
 
@@ -109,40 +111,51 @@ class CDCPipeline:
                 F.col(self.op_col) != OP_DELETE,
                 F.sha2(F.coalesce(F.col(self.content_col), F.lit("")), 256),
             ),
-        )
+        ).persist()  # reused by the dedup winners AND the lineage aggregation
         tiebreakers = ["commit", "content_sha256"]
 
-        # 3. in-batch LWW dedup (explicit two-phase salted aggregation)
-        winners = lww_dedup(
-            valid,
-            self.key_cols,
-            seq_col=self.seq_col,
-            tiebreakers=tiebreakers,
-            strategy="salted",
-        )
+        # 3. in-batch LWW dedup.  The MERGE aggregation below is itself the
+        # two-phase salted LWW (map-side partial agg = phase one), so a
+        # separate pre-dedup pass is redundant work — it re-shuffles the
+        # full payload twice.  ``pre_dedup=True`` adds the explicit salted
+        # reduction for extreme in-batch duplication (same final state).
+        if self.pre_dedup:
+            winners = lww_dedup(
+                valid,
+                self.key_cols,
+                seq_col=self.seq_col,
+                tiebreakers=tiebreakers,
+                strategy="salted",
+            )
+        else:
+            winners = valid
 
-        # 4. MERGE
+        # quarantined rows -> error table (before the merge: the report is
+        # part of the batch's audit trail whatever the merge outcome)
+        n_errors = 0
+        if self.error_dir:
+            errors = errors.persist()
+            out = os.path.join(self.error_dir, f"batch={bid}")
+            errors.write.mode("overwrite").parquet(out)
+            n_errors = errors.count()
+            errors.unpersist()
+
+        # 4. MERGE (NEW-mode conflicts sink while the staged batch is cached)
         staged = winners.withColumnRenamed(self.seq_col, "_seq").withColumnRenamed(
             self.op_col, "_op"
         )
+        merge_err_sink = None
+        if self.error_dir:
+            merge_out = os.path.join(self.error_dir, f"batch={bid}-merge")
+            merge_err_sink = lambda df: df.write.mode("overwrite").parquet(merge_out)
         res = merge_into(
             self.spark,
             self.lake,
             staged,
             tiebreakers=tiebreakers,
             batch_id=bid,
+            error_sink=merge_err_sink,
         )
-
-        # 5. error + lineage bookkeeping (after the commit point)
-        n_errors = 0
-        if self.error_dir:
-            out = os.path.join(self.error_dir, f"batch={bid}")
-            errors.write.mode("overwrite").parquet(out)
-            n_errors = self.spark.read.parquet(out).count()
-        merge_errors = res.get("errors")
-        if merge_errors is not None and self.error_dir:
-            out = os.path.join(self.error_dir, f"batch={bid}-merge")
-            merge_errors.write.mode("overwrite").parquet(out)
 
         lineage_rows = (
             valid.groupBy(
@@ -163,6 +176,7 @@ class CDCPipeline:
             }
             for r in lineage_rows
         }
+        valid.unpersist()
         metrics = dict(res["metrics"])
         metrics["rows_quarantined"] = n_errors
         self.ledger.record(bid, res["version"], metrics, lineage)
