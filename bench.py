@@ -67,7 +67,14 @@ def main():
             n_batches=4,
             zipf_k=3.0,
         ).write.mode("overwrite").parquet(events_path)
-        pipe = make_pipeline(spark, os.path.join(workdir, "out"), n_buckets=cpus)
+        # merge-on-read with in-loop compaction: the sustained-ingest path
+        pipe = make_pipeline(
+            spark,
+            os.path.join(workdir, "out"),
+            n_buckets=cpus,
+            strategy="mor",
+            compact_every=2,
+        )
         events = spark.read.parquet(events_path)
         t0 = time.time()
         pipe.run(events)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--cpus", type=int, default=0)
+    ap.add_argument("--strategy", default="mor")
+    ap.add_argument("--compact-every", type=int, default=2)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +42,13 @@ def main():
 
     if os.path.exists(args.out):
         shutil.rmtree(args.out)
-    pipe = make_pipeline(spark, args.out, n_buckets=args.buckets)
+    pipe = make_pipeline(
+        spark,
+        args.out,
+        n_buckets=args.buckets,
+        strategy=args.strategy,
+        compact_every=args.compact_every,
+    )
     events = spark.read.parquet(args.events)
     n_events = events.count()
 

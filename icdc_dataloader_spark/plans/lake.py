@@ -65,6 +65,7 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         n_buckets: int = 16,
+        tiebreakers: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(root)
         os.makedirs(t.log_dir, exist_ok=True)
@@ -78,6 +79,7 @@ class LakeTable:
                 "operation": "create",
                 "schema": schema.json(),
                 "key_cols": list(key_cols),
+                "tiebreakers": list(tiebreakers or []),
                 "n_buckets": n_buckets,
                 "files": [],
                 "batch_id": None,
@@ -127,6 +129,14 @@ class LakeTable:
     def n_buckets(self) -> int:
         return self.snapshot()["n_buckets"]
 
+    def tiebreakers(self) -> list[str]:
+        return self.snapshot().get("tiebreakers", [])
+
+    def delta_files(self, version: int | None = None) -> list[dict]:
+        return [
+            f for f in self.snapshot(version)["files"] if f.get("role") == "delta"
+        ]
+
     def committed_batch_ids(self) -> set:
         return set(self.snapshot()["committed_batch_ids"])
 
@@ -175,7 +185,7 @@ class LakeTable:
     # -- write / commit ------------------------------------------------------
 
     def write_data_files(
-        self, df: DataFrame, version: int, schema: T.StructType
+        self, df: DataFrame, version: int, schema: T.StructType, role: str = "base"
     ) -> list[dict]:
         """Write ``df`` (must contain ``_bucket``) as this version's data files.
 
@@ -231,6 +241,7 @@ class LakeTable:
                         "bucket": int(m.group(1)) if m else -1,
                         "schema": schema_json,
                         "stats": stats,
+                        "role": role,
                     }
                 )
         return entries
@@ -260,6 +271,7 @@ class LakeTable:
                 "operation": operation,
                 "schema": (schema or self.schema()).json(),
                 "key_cols": prev["key_cols"],
+                "tiebreakers": prev.get("tiebreakers", []),
                 "n_buckets": prev["n_buckets"],
                 "files": carried_files + new_files,
                 "batch_id": None if batch_id is None else str(batch_id),

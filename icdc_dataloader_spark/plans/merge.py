@@ -58,9 +58,50 @@ def table_schema(payload: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+def _lww_order(seq_col: str, tiebreakers: list[str]) -> F.Column:
+    return F.struct(
+        F.col(seq_col),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in tiebreakers],
+    )
+
+
+def resolve(
+    spark: SparkSession,
+    lake: LakeTable,
+    version: int | None = None,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Current table rows with merge-on-read deltas resolved.
+
+    COW snapshots (no delta files) are returned as-is — zero overhead.
+    With deltas, one per-key LWW aggregation over base ∪ deltas (same total
+    order as the write path; tiebreakers from table metadata).
+    """
+    df = lake.read(spark, version=version, buckets=buckets)
+    if not lake.delta_files(version):
+        return df
+    key_cols = lake.key_cols()
+    order = _lww_order("_seq", lake.tiebreakers())
+    payload = F.struct(*[f.name for f in lake.schema(version).fields])
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.max_by(payload, order).alias("_w"),
+            F.min(
+                F.when(F.col("_op") != OP_DELETE, F.col("_created_seq"))
+            ).alias("_first_seq"),
+        )
+        .select("_w.*", "_first_seq")
+        .withColumn(
+            "_created_seq", F.coalesce(F.col("_first_seq"), F.col("_created_seq"))
+        )
+        .drop("_first_seq")
+    )
+
+
 def read_state(spark: SparkSession, lake: LakeTable, version: int | None = None) -> DataFrame:
     """User-facing current state: live rows only, lineage columns dropped."""
-    df = lake.read(spark, version=version)
+    df = resolve(spark, lake, version=version)
     return df.filter(F.col("_op") != OP_DELETE).drop(*[c for c in INTERNAL_COLS if c in df.columns])
 
 
@@ -222,3 +263,131 @@ def merge_into(
         new_files, carried, operation="merge", batch_id=batch_id, metrics=metrics
     )
     return {"version": version, "metrics": metrics, "noop": False, "errors": errors}
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read: append deltas, resolve at read, compact on threshold
+# ---------------------------------------------------------------------------
+
+
+def append_delta(
+    spark: SparkSession,
+    lake: LakeTable,
+    batch_df: DataFrame,
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+    tiebreakers: list[str] | None = None,
+    batch_id=None,
+    error_sink=None,
+    pre_dedup: bool = True,
+) -> dict:
+    """MoR apply: write the batch as delta files — NO base rewrite.
+
+    This is the 10^10-scale ingest path: per-batch work is proportional to
+    the BATCH, not the table.  The per-key winner is materialized lazily by
+    :func:`resolve` / :func:`compact` using the same (seq, tiebreakers)
+    total order, so the final state is identical to the COW path (tested).
+
+    - ``pre_dedup``: explicit key-salted two-phase LWW inside the batch
+      before writing (bounds delta size by the batch's key count — the hot
+      path of the north rule's salting mechanism).
+    - NEW_MODE events require apply-time liveness: if (and only if) the
+      batch contains op='new', the current state of the touched buckets is
+      resolved (a read, not a rewrite) and every key whose batch-winner is
+      a conflicting 'new' is stripped from the delta (same rule as COW).
+    """
+    if batch_id is not None and lake.is_batch_committed(batch_id):
+        return {"version": lake.latest_version(), "metrics": {}, "noop": True,
+                "errors": None}
+
+    from ..operators.dedup import lww_dedup
+
+    key_cols = lake.key_cols()
+    n_buckets = lake.n_buckets()
+    schema = lake.schema()
+    tiebreakers = tiebreakers or lake.tiebreakers()
+
+    batch = batch_df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
+    batch = batch.withColumn("_created_seq", F.col(seq_col)).withColumn(
+        "_updated_seq", F.col(seq_col)
+    )
+    batch = _align(batch, schema)
+    if pre_dedup:
+        batch = lww_dedup(
+            batch, key_cols, seq_col=seq_col, tiebreakers=tiebreakers,
+            strategy="salted",
+        )
+    batch = batch.persist()
+
+    n_conflicts = 0
+    has_new = batch.filter(F.col(op_col) == OP_NEW).limit(1).count() > 0
+    if has_new:
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        current = resolve(spark, lake, buckets=touched)
+        live = current.filter(F.col(op_col) != OP_DELETE).select(*key_cols)
+        order = _lww_order(seq_col, tiebreakers)
+        batch_winner_op = (
+            batch.groupBy(*key_cols)
+            .agg(F.max_by(F.col(op_col), order).alias("_wop"))
+        )
+        conflicts = (
+            batch_winner_op.filter(F.col("_wop") == OP_NEW)
+            .join(live, key_cols, "left_semi")
+            .select(*key_cols)
+            .persist()
+        )
+        n_conflicts = conflicts.count()
+        if n_conflicts:
+            errors = conflicts.select(
+                *key_cols,
+                F.lit("node_exists_in_new_mode").alias("reason"),
+                F.lit("error").alias("severity"),
+            )
+            if error_sink is not None:
+                error_sink(errors)
+            clean = batch.join(conflicts, key_cols, "left_anti").persist()
+            batch.unpersist()
+            batch = clean
+        conflicts.unpersist()
+
+    out = batch.repartition(max(min(n_buckets, 8), 1), "_bucket")
+    new_version = lake.latest_version() + 1
+    new_files = lake.write_data_files(out, new_version, schema, role="delta")
+    n_appended = sum(f["rows"] for f in new_files)
+    batch.unpersist()
+
+    snap = lake.snapshot()
+    metrics = {"rows_appended": n_appended, "new_mode_conflicts": n_conflicts}
+    version = lake.commit(
+        new_files, snap["files"], operation="append-delta", batch_id=batch_id,
+        metrics=metrics,
+    )
+    return {"version": version, "metrics": metrics, "noop": False, "errors": None}
+
+
+def compact(
+    spark: SparkSession,
+    lake: LakeTable,
+    drop_tombstones_below_seq: int | None = None,
+) -> int:
+    """Rewrite base ∪ deltas into per-key winners (new base), drop deltas.
+
+    ``drop_tombstones_below_seq``: tombstones with _seq below this watermark
+    (e.g. the ledger's per-partition low-water) are physically removed —
+    safe once no event below the watermark can still arrive.
+    """
+    schema = lake.schema()
+    winners = resolve(spark, lake)
+    if drop_tombstones_below_seq is not None:
+        winners = winners.filter(
+            (F.col("_op") != OP_DELETE)
+            | (F.col("_seq") >= drop_tombstones_below_seq)
+        )
+    out = _align(winners, schema).repartition(lake.n_buckets(), "_bucket")
+    new_version = lake.latest_version() + 1
+    new_files = lake.write_data_files(out, new_version, schema, role="base")
+    return lake.commit(new_files, [], operation="compact", metrics={
+        "files_compacted": len(lake.snapshot()["files"]),
+    })

@@ -47,9 +47,16 @@ def load_repos_model(fixture_dir: str | None = None) -> Model:
     )
 
 
+TIEBREAKERS = ["commit", "content_sha256"]
+
+
 def create_repos_table(root: str, n_buckets: int = 16) -> LakeTable:
     return LakeTable.create(
-        root, table_schema(repos_payload_schema()), KEY_COLS, n_buckets=n_buckets
+        root,
+        table_schema(repos_payload_schema()),
+        KEY_COLS,
+        n_buckets=n_buckets,
+        tiebreakers=TIEBREAKERS,
     )
 
 
@@ -58,6 +65,8 @@ def make_pipeline(
     root: str,
     n_buckets: int = 16,
     with_model: bool = True,
+    strategy: str = "cow",
+    compact_every: int = 8,
 ) -> CDCPipeline:
     """Table + ledger + pipeline rooted at ``root`` (created if absent)."""
     lake = create_repos_table(os.path.join(root, "repos"), n_buckets=n_buckets)
@@ -71,4 +80,6 @@ def make_pipeline(
         node_type="repo_file",
         key_cols=tuple(KEY_COLS),
         error_dir=os.path.join(root, "errors"),
+        strategy=strategy,
+        compact_every=compact_every,
     )

@@ -37,7 +37,7 @@ from ..model import Model
 from ..operators.dedup import lww_dedup
 from ..operators.validate import validation_errors
 from ..plans.lake import LakeTable, bucket_expr
-from ..plans.merge import OP_DELETE, merge_into
+from ..plans.merge import OP_DELETE, append_delta, compact, merge_into
 from .ledger import CheckpointLedger
 
 
@@ -55,7 +55,19 @@ class CDCPipeline:
         content_col: str = "content",
         error_dir: str | None = None,
         pre_dedup: bool = False,
+        strategy: str = "cow",
+        compact_every: int = 8,
     ):
+        """``strategy``:
+
+        - 'cow' (copy-on-write): every batch rewrites its touched buckets —
+          read-optimized, per-batch cost proportional to the TABLE.
+        - 'mor' (merge-on-read): batches append delta files (cost
+          proportional to the BATCH); reads resolve the per-key winner;
+          compaction every ``compact_every`` batches folds deltas into a
+          new base.  Identical final state (tested) — this is the ingest
+          path that survives 10^10 events.
+        """
         self.spark = spark
         self.lake = lake
         self.ledger = ledger
@@ -67,6 +79,11 @@ class CDCPipeline:
         self.content_col = content_col
         self.error_dir = error_dir
         self.pre_dedup = pre_dedup
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown strategy: {strategy}")
+        self.strategy = strategy
+        self.compact_every = compact_every
+        self._batches_since_compact = 0
 
     # -- single batch ---------------------------------------------------------
 
@@ -148,14 +165,29 @@ class CDCPipeline:
         if self.error_dir:
             merge_out = os.path.join(self.error_dir, f"batch={bid}-merge")
             merge_err_sink = lambda df: df.write.mode("overwrite").parquet(merge_out)
-        res = merge_into(
-            self.spark,
-            self.lake,
-            staged,
-            tiebreakers=tiebreakers,
-            batch_id=bid,
-            error_sink=merge_err_sink,
-        )
+        if self.strategy == "mor":
+            res = append_delta(
+                self.spark,
+                self.lake,
+                staged,
+                tiebreakers=tiebreakers,
+                batch_id=bid,
+                error_sink=merge_err_sink,
+                pre_dedup=True,
+            )
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_every:
+                compact(self.spark, self.lake)
+                self._batches_since_compact = 0
+        else:
+            res = merge_into(
+                self.spark,
+                self.lake,
+                staged,
+                tiebreakers=tiebreakers,
+                batch_id=bid,
+                error_sink=merge_err_sink,
+            )
 
         lineage_rows = (
             valid.groupBy(

@@ -1,0 +1,126 @@
+"""Merge-on-read path: identical final state to COW + oracle, compaction
+preserves state, idempotent re-apply, metrics."""
+
+import os
+
+from icdc_dataloader_spark import oracle
+from icdc_dataloader_spark.plans.merge import compact, read_state
+from icdc_dataloader_spark.repos import make_pipeline
+from icdc_dataloader_spark.sources.gen import gen_events_pandas
+
+
+def _events(spark, tmp_path, **kw):
+    pdf = gen_events_pandas(**kw)
+    os.makedirs(str(tmp_path), exist_ok=True)
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path, index=False)
+    return spark.read.parquet(path), pdf.to_dict("records")
+
+
+def _state(spark, pipe):
+    rows = read_state(spark, pipe.lake).select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    ).collect()
+    return {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"])
+        for r in rows
+    }
+
+
+def test_mor_matches_cow_and_oracle(spark, tmp_path):
+    kw = dict(
+        n_events=6000, n_repos=30, n_paths=8, seed=77, n_batches=5,
+        p_delete=0.08, p_new=0.05, p_invalid_lang=0.02,
+    )
+    df, records = _events(spark, tmp_path, **kw)
+
+    cow = make_pipeline(spark, str(tmp_path / "cow"), n_buckets=8, strategy="cow")
+    cow.run(df)
+    mor = make_pipeline(
+        spark, str(tmp_path / "mor"), n_buckets=8, strategy="mor", compact_every=100
+    )
+    mor.run(df)
+
+    s_cow = _state(spark, cow)
+    s_mor = _state(spark, mor)
+    assert s_cow == s_mor
+
+    out = oracle.replay(records)
+    exp = {
+        k: (r["commit"], r["lang"], r["content_sha256"])
+        for k, r in out["state"].items()
+        if r["_op"] != "delete"
+    }
+    assert s_mor == exp
+    # MoR really appended deltas (no compaction at compact_every=100)
+    assert mor.lake.delta_files(), "expected delta files in MoR snapshots"
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path):
+    df, records = _events(
+        spark, tmp_path, n_events=3000, n_repos=20, n_paths=6, seed=78,
+        n_batches=4, p_delete=0.1,
+    )
+    pipe = make_pipeline(
+        spark, str(tmp_path / "mor"), n_buckets=4, strategy="mor", compact_every=100
+    )
+    pipe.run(df)
+    before = _state(spark, pipe)
+    assert pipe.lake.delta_files()
+    compact(spark, pipe.lake)
+    assert not pipe.lake.delta_files()
+    assert _state(spark, pipe) == before
+    # resolve() now takes the no-agg fast path and still matches
+    assert len(before) > 0
+
+
+def test_mor_midstream_compaction_and_resume(spark, tmp_path):
+    df, records = _events(
+        spark, tmp_path, n_events=4000, n_repos=25, n_paths=6, seed=79,
+        n_batches=6, p_delete=0.1,
+    )
+    root = str(tmp_path / "mor")
+    pipe = make_pipeline(spark, root, n_buckets=4, strategy="mor", compact_every=2)
+    pipe.run(df, max_batches=3)  # compaction fires mid-stream
+    pipe2 = make_pipeline(spark, root, n_buckets=4, strategy="mor", compact_every=2)
+    pipe2.run(df)
+    out = oracle.replay(records)
+    exp = {
+        k: (r["commit"], r["lang"], r["content_sha256"])
+        for k, r in out["state"].items()
+        if r["_op"] != "delete"
+    }
+    assert _state(spark, pipe2) == exp
+
+
+def test_mor_idempotent_reapply(spark, tmp_path):
+    df, _ = _events(
+        spark, tmp_path, n_events=1000, n_repos=10, n_paths=4, seed=80, n_batches=2,
+    )
+    pipe = make_pipeline(
+        spark, str(tmp_path / "mor"), n_buckets=4, strategy="mor", compact_every=100
+    )
+    pipe.run(df)
+    s1 = _state(spark, pipe)
+    v1 = pipe.lake.latest_version()
+    res = pipe.run(df)
+    assert res["applied"] == []
+    assert pipe.lake.latest_version() == v1 and _state(spark, pipe) == s1
+
+
+def test_mor_tombstone_gc(spark, tmp_path):
+    df, records = _events(
+        spark, tmp_path, n_events=2000, n_repos=10, n_paths=4, seed=81,
+        n_batches=2, p_delete=0.3,
+    )
+    pipe = make_pipeline(
+        spark, str(tmp_path / "mor"), n_buckets=4, strategy="mor", compact_every=100
+    )
+    pipe.run(df)
+    before = _state(spark, pipe)
+    # all events applied => watermark above max seq is safe
+    compact(spark, pipe.lake, drop_tombstones_below_seq=10_000_000)
+    after = _state(spark, pipe)
+    assert after == before
+    raw = pipe.lake.read(spark)
+    assert raw.filter("_op = 'delete'").count() == 0
