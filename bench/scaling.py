@@ -59,8 +59,12 @@ def run_level(cpus: int, events: str, workdir: str, zpath: str) -> dict:
         "spark-submit",
         "--master", f"local[{cpus}]",
         "--driver-memory", "48g",
-        "--conf", f"spark.sql.shuffle.partitions={max(cpus, 8)}",
+        "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # keep reduce-side parallelism proportional to cores: default 64MB
+        # advisory coalescing collapses both runs to the same task count
+        "--conf", "spark.sql.adaptive.coalescePartitions.parallelismFirst=true",
+        "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zpath,

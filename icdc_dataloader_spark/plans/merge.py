@@ -114,11 +114,14 @@ def merge_into(
     tiebreakers: list[str] | None = None,
     batch_id=None,
     error_sink=None,
+    touched: list[int] | None = None,
 ) -> dict:
     """Apply one CDC batch. Returns {'version', 'metrics', 'noop', 'errors'}.
 
     ``batch_df`` carries payload columns (a subset of the table payload is
     fine — schema-evolution alignment fills NULLs), ``_seq`` and ``_op``.
+    ``touched``: the batch's hash buckets if the caller already knows them
+    (skips one aggregation job).
     """
     if batch_id is not None and lake.is_batch_committed(batch_id):
         return {
@@ -141,9 +144,10 @@ def merge_into(
     # join and the LWW union all reuse it instead of recomputing its lineage
     batch = _align(batch, schema).persist()
 
-    touched = sorted(
-        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-    )
+    if touched is None:
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
     snap = lake.snapshot()
     if not touched:
         batch.unpersist()
@@ -280,6 +284,8 @@ def append_delta(
     batch_id=None,
     error_sink=None,
     pre_dedup: bool = True,
+    touched: list[int] | None = None,
+    has_new: bool | None = None,
 ) -> dict:
     """MoR apply: write the batch as delta files — NO base rewrite.
 
@@ -317,14 +323,20 @@ def append_delta(
             batch, key_cols, seq_col=seq_col, tiebreakers=tiebreakers,
             strategy="salted",
         )
-    batch = batch.persist()
+    # only multi-action paths need the cache; the pure-append fast path
+    # (no NEW ops, caller supplied touched/has_new) is a single write job
+    multi_action = has_new is None or has_new
+    if multi_action:
+        batch = batch.persist()
 
     n_conflicts = 0
-    has_new = batch.filter(F.col(op_col) == OP_NEW).limit(1).count() > 0
+    if has_new is None:
+        has_new = batch.filter(F.col(op_col) == OP_NEW).limit(1).count() > 0
     if has_new:
-        touched = sorted(
-            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+            )
         current = resolve(spark, lake, buckets=touched)
         live = current.filter(F.col(op_col) != OP_DELETE).select(*key_cols)
         order = _lww_order(seq_col, tiebreakers)
@@ -352,11 +364,12 @@ def append_delta(
             batch = clean
         conflicts.unpersist()
 
-    out = batch.repartition(max(min(n_buckets, 8), 1), "_bucket")
+    out = batch.repartition(n_buckets, "_bucket")
     new_version = lake.latest_version() + 1
     new_files = lake.write_data_files(out, new_version, schema, role="delta")
     n_appended = sum(f["rows"] for f in new_files)
-    batch.unpersist()
+    if multi_action:
+        batch.unpersist()
 
     snap = lake.snapshot()
     metrics = {"rows_appended": n_appended, "new_mode_conflicts": n_conflicts}

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..model import Model
 from ..operators.dedup import lww_dedup
-from ..operators.validate import validation_errors
+from ..operators.validate import validation_error_checks
 from ..plans.lake import LakeTable, bucket_expr
 from ..plans.merge import OP_DELETE, append_delta, compact, merge_into
 from .ledger import CheckpointLedger
@@ -87,6 +87,50 @@ class CDCPipeline:
 
     # -- single batch ---------------------------------------------------------
 
+    def _annotate(self, batch_df: DataFrame) -> DataFrame:
+        """ONE projection computing everything per-row: validation errors
+        (op-aware: deletes only need their key, V7), the sha256 parity
+        column, and the hash bucket.  No joins, no second scan."""
+        err_struct = (
+            "struct<property:string,value:string,reason:string,severity:string>"
+        )
+        checks = []
+        if self.model is not None:
+            checks = validation_error_checks(batch_df, self.node_type, self.model)
+        upsert_errs = (
+            F.filter(F.array(*checks), lambda x: x.isNotNull())
+            if checks
+            else F.array().cast(f"array<{err_struct}>")
+        )
+        key_null = F.lit(False)
+        for k in self.key_cols:
+            key_null = key_null | F.col(k).isNull()
+        delete_errs = F.when(
+            key_null,
+            F.array(
+                F.struct(
+                    F.lit(",".join(self.key_cols)).alias("property"),
+                    F.lit(None).cast("string").alias("value"),
+                    F.lit("delete_missing_id").alias("reason"),
+                    F.lit("error").alias("severity"),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{err_struct}>"))
+        is_delete = F.col(self.op_col) == OP_DELETE
+        return (
+            batch_df.withColumn(
+                "_errs", F.when(is_delete, delete_errs).otherwise(upsert_errs)
+            )
+            .withColumn(
+                "content_sha256",
+                F.when(
+                    ~is_delete,
+                    F.sha2(F.coalesce(F.col(self.content_col), F.lit("")), 256),
+                ),
+            )
+            .withColumn("_bucket", bucket_expr(self.key_cols, self.lake.n_buckets()))
+        )
+
     def apply_batch(self, batch_df: DataFrame, batch_id) -> dict:
         bid = str(batch_id)
         if self.lake.is_batch_committed(bid):
@@ -96,69 +140,61 @@ class CDCPipeline:
                 self.ledger.record(bid, snap["version"], {}, {})
             return {"batch_id": bid, "noop": True}
 
-        deletes = batch_df.filter(F.col(self.op_col) == OP_DELETE)
-        upserts = batch_df.filter(F.col(self.op_col) != OP_DELETE)
+        annotated = self._annotate(batch_df).persist()
+        ok = F.size("_errs") == 0
 
-        # 1. validation (vectorized single scan); deletes only need their key
-        errors = None
-        if self.model is not None:
-            errors = validation_errors(
-                upserts, self.node_type, self.model, row_id_col=self.seq_col
+        # ONE aggregation job: per-bucket lineage + touched buckets +
+        # NEW-op presence + quarantine count, all from the cached scan
+        stats = (
+            annotated.groupBy("_bucket")
+            .agg(
+                F.min(F.when(ok, F.col(self.seq_col))).alias("min_seq"),
+                F.max(F.when(ok, F.col(self.seq_col))).alias("max_seq"),
+                F.sum(F.when(ok, 1).otherwise(0)).alias("rows"),
+                F.sum(F.when(~ok, 1).otherwise(0)).alias("n_bad"),
+                F.max(
+                    F.when(ok & (F.col(self.op_col) == "new"), 1).otherwise(0)
+                ).alias("any_new"),
             )
-        key_missing = deletes.filter(
-            " OR ".join(f"{k} IS NULL" for k in self.key_cols)
-        ).select(
-            F.col(self.seq_col).cast("long").alias("row_id"),
-            F.lit(",".join(self.key_cols)).alias("property"),
-            F.lit(None).cast("string").alias("value"),
-            F.lit("delete_missing_id").alias("reason"),
-            F.lit("error").alias("severity"),
+            .collect()
         )
-        errors = key_missing if errors is None else errors.unionByName(key_missing)
+        lineage = {
+            str(r["_bucket"]): {
+                "min_seq": r["min_seq"],
+                "max_seq": r["max_seq"],
+                "rows": r["rows"],
+            }
+            for r in stats
+            if r["rows"] > 0
+        }
+        touched = sorted(r["_bucket"] for r in stats if r["rows"] > 0)
+        has_new = any(r["any_new"] for r in stats)
+        n_errors = int(sum(r["n_bad"] for r in stats))
 
-        bad = errors.filter(F.col("severity") == "error").select("row_id").distinct()
-        valid = batch_df.join(
-            bad, batch_df[self.seq_col] == bad["row_id"], "left_anti"
-        )
+        # quarantined rows -> error table (from cache; skipped when clean)
+        if self.error_dir and n_errors:
+            errors = (
+                annotated.filter(~ok)
+                .select(
+                    F.col(self.seq_col).cast("long").alias("row_id"),
+                    F.explode("_errs").alias("e"),
+                )
+                .select("row_id", "e.property", "e.value", "e.reason", "e.severity")
+            )
+            out = os.path.join(self.error_dir, f"batch={bid}")
+            errors.write.mode("overwrite").parquet(out)
 
-        # 2. parity column (input_hint invariant)
-        valid = valid.withColumn(
-            "content_sha256",
-            F.when(
-                F.col(self.op_col) != OP_DELETE,
-                F.sha2(F.coalesce(F.col(self.content_col), F.lit("")), 256),
-            ),
-        ).persist()  # reused by the dedup winners AND the lineage aggregation
+        valid = annotated.filter(ok).drop("_errs")
         tiebreakers = ["commit", "content_sha256"]
-
-        # 3. in-batch LWW dedup.  The MERGE aggregation below is itself the
-        # two-phase salted LWW (map-side partial agg = phase one), so a
-        # separate pre-dedup pass is redundant work — it re-shuffles the
-        # full payload twice.  ``pre_dedup=True`` adds the explicit salted
-        # reduction for extreme in-batch duplication (same final state).
         if self.pre_dedup:
-            winners = lww_dedup(
+            valid = lww_dedup(
                 valid,
                 self.key_cols,
                 seq_col=self.seq_col,
                 tiebreakers=tiebreakers,
                 strategy="salted",
             )
-        else:
-            winners = valid
-
-        # quarantined rows -> error table (before the merge: the report is
-        # part of the batch's audit trail whatever the merge outcome)
-        n_errors = 0
-        if self.error_dir:
-            errors = errors.persist()
-            out = os.path.join(self.error_dir, f"batch={bid}")
-            errors.write.mode("overwrite").parquet(out)
-            n_errors = errors.count()
-            errors.unpersist()
-
-        # 4. MERGE (NEW-mode conflicts sink while the staged batch is cached)
-        staged = winners.withColumnRenamed(self.seq_col, "_seq").withColumnRenamed(
+        staged = valid.withColumnRenamed(self.seq_col, "_seq").withColumnRenamed(
             self.op_col, "_op"
         )
         merge_err_sink = None
@@ -174,6 +210,8 @@ class CDCPipeline:
                 batch_id=bid,
                 error_sink=merge_err_sink,
                 pre_dedup=True,
+                touched=touched,
+                has_new=has_new,
             )
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
@@ -187,28 +225,10 @@ class CDCPipeline:
                 tiebreakers=tiebreakers,
                 batch_id=bid,
                 error_sink=merge_err_sink,
+                touched=touched,
             )
 
-        lineage_rows = (
-            valid.groupBy(
-                bucket_expr(self.key_cols, self.lake.n_buckets()).alias("bucket")
-            )
-            .agg(
-                F.min(self.seq_col).alias("min_seq"),
-                F.max(self.seq_col).alias("max_seq"),
-                F.count(F.lit(1)).alias("rows"),
-            )
-            .collect()
-        )
-        lineage = {
-            str(r["bucket"]): {
-                "min_seq": r["min_seq"],
-                "max_seq": r["max_seq"],
-                "rows": r["rows"],
-            }
-            for r in lineage_rows
-        }
-        valid.unpersist()
+        annotated.unpersist()
         metrics = dict(res["metrics"])
         metrics["rows_quarantined"] = n_errors
         self.ledger.record(bid, res["version"], metrics, lineage)
