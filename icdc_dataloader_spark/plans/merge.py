@@ -180,7 +180,9 @@ def merge_into(
     agg = unioned.groupBy(*key_cols).agg(
         F.max_by(payload, order).alias("_w"),
         F.max_by(F.when(is_batch, payload), F.when(is_batch, order)).alias("_bw"),
-        F.max(F.when(is_cur, payload)).alias("_cw"),  # <=1 current row per key
+        # <=1 current row per key; max_by because max() cannot order structs
+        # that contain map columns (edge tables carry rel_props maps)
+        F.max_by(F.when(is_cur, payload), F.when(is_cur, F.lit(1))).alias("_cw"),
         F.max(
             F.when(is_cur & (F.col(op_col) != OP_DELETE), 1).otherwise(0)
         ).alias("_had_live"),
