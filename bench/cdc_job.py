@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--cpus", type=int, default=0)
     ap.add_argument("--strategy", default="mor")
     ap.add_argument("--compact-every", type=int, default=2)
+    ap.add_argument("--warmup", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,6 +52,25 @@ def main():
     )
     events = spark.read.parquet(args.events)
     n_events = events.count()
+
+    if args.warmup:
+        # JIT/codegen warmup on a small slice through a throwaway table:
+        # measures steady-state throughput, not JVM cold start (disclosed in
+        # BENCH/BASELINE.md).  Same code paths: annotate, dedup, append.
+        from pyspark.sql import functions as F
+
+        wpipe = make_pipeline(
+            spark,
+            args.out + "_warmup",
+            n_buckets=args.buckets,
+            strategy=args.strategy,
+            compact_every=1,
+        )
+        warm = events.limit(50_000).withColumn(
+            "batch_id", F.col("batch_id") * 0
+        )
+        wpipe.run(warm)
+        shutil.rmtree(args.out + "_warmup", ignore_errors=True)
 
     t0 = time.time()
     pipe.run(events)
