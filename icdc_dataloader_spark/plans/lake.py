@@ -185,17 +185,23 @@ class LakeTable:
     # -- write / commit ------------------------------------------------------
 
     def write_data_files(
-        self, df: DataFrame, version: int, schema: T.StructType, role: str = "base"
+        self,
+        df: DataFrame,
+        version: int,
+        schema: T.StructType,
+        role: str = "base",
+        dirname: str | None = None,
     ) -> list[dict]:
         """Write ``df`` (must contain ``_bucket``) as this version's data files.
 
         Files are partitioned by bucket (dir ``_pb={b}``) while keeping
         ``_bucket`` as a physical column; returns manifest entries with
-        per-file stats from the Parquet footers.
+        per-file stats (key columns plus _seq/_op) from the Parquet footers —
+        lineage and NEW-op detection come from footers, not extra Spark jobs.
         """
-        rel_dir = f"data/v{version}"
+        rel_dir = f"data/{dirname or f'v{version}'}"
         out_dir = os.path.join(self.root, rel_dir)
-        key_cols = self.key_cols()
+        key_cols = list(self.key_cols()) + ["_seq", "_op"]
         (
             df.withColumn("_pb", F.col("_bucket"))
             .write.mode("overwrite")

@@ -325,26 +325,42 @@ def append_delta(
             batch, key_cols, seq_col=seq_col, tiebreakers=tiebreakers,
             strategy="salted",
         )
-    # only multi-action paths need the cache; the pure-append fast path
-    # (no NEW ops, caller supplied touched/has_new) is a single write job
-    multi_action = has_new is None or has_new
-    if multi_action:
-        batch = batch.persist()
+
+    # ONE Spark job on the common path: the write itself.  NEW-op presence
+    # is observed during that job; per-bucket lineage comes from the
+    # written files' parquet footers (no extra aggregation jobs).
+    from pyspark.sql import Observation
+
+    obs = None
+    if has_new is None:
+        obs = Observation()
+        batch = batch.observe(
+            obs,
+            F.max(
+                F.when(F.col(op_col) == OP_NEW, 1).otherwise(0)
+            ).alias("has_new"),
+        )
+
+    out = batch.repartition(n_buckets, "_bucket")
+    new_version = lake.latest_version() + 1
+    new_files = lake.write_data_files(out, new_version, schema, role="delta")
+    if obs is not None:
+        has_new = bool(obs.get.get("has_new") or 0)
 
     n_conflicts = 0
-    if has_new is None:
-        has_new = batch.filter(F.col(op_col) == OP_NEW).limit(1).count() > 0
     if has_new:
+        # rare path: resolve NEW conflicts against current state, re-stage
+        # the delta without the conflicting keys (extra jobs only here)
+        staged = spark.read.schema(schema).parquet(
+            *[f"{lake.root}/{f['path']}" for f in new_files]
+        ) if new_files else spark.createDataFrame([], schema)
         if touched is None:
-            touched = sorted(
-                r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-            )
+            touched = sorted({f["bucket"] for f in new_files})
         current = resolve(spark, lake, buckets=touched)
         live = current.filter(F.col(op_col) != OP_DELETE).select(*key_cols)
         order = _lww_order(seq_col, tiebreakers)
-        batch_winner_op = (
-            batch.groupBy(*key_cols)
-            .agg(F.max_by(F.col(op_col), order).alias("_wop"))
+        batch_winner_op = staged.groupBy(*key_cols).agg(
+            F.max_by(F.col(op_col), order).alias("_wop")
         )
         conflicts = (
             batch_winner_op.filter(F.col("_wop") == OP_NEW)
@@ -361,17 +377,33 @@ def append_delta(
             )
             if error_sink is not None:
                 error_sink(errors)
-            clean = batch.join(conflicts, key_cols, "left_anti").persist()
-            batch.unpersist()
-            batch = clean
+            clean = staged.join(conflicts, key_cols, "left_anti")
+            new_files = lake.write_data_files(
+                clean, new_version, schema, role="delta",
+                dirname=f"v{new_version}_resolved",
+            )
         conflicts.unpersist()
 
-    out = batch.repartition(n_buckets, "_bucket")
-    new_version = lake.latest_version() + 1
-    new_files = lake.write_data_files(out, new_version, schema, role="delta")
     n_appended = sum(f["rows"] for f in new_files)
-    if multi_action:
-        batch.unpersist()
+    lineage = {}
+    for f in new_files:
+        b = str(f["bucket"])
+        seq_stats = (f.get("stats") or {}).get("_seq") or {}
+        cur = lineage.setdefault(
+            b, {"min_seq": None, "max_seq": None, "rows": 0}
+        )
+        cur["rows"] += f["rows"]
+        if seq_stats:
+            cur["min_seq"] = (
+                seq_stats["min"]
+                if cur["min_seq"] is None
+                else min(cur["min_seq"], seq_stats["min"])
+            )
+            cur["max_seq"] = (
+                seq_stats["max"]
+                if cur["max_seq"] is None
+                else max(cur["max_seq"], seq_stats["max"])
+            )
 
     snap = lake.snapshot()
     metrics = {"rows_appended": n_appended, "new_mode_conflicts": n_conflicts}
@@ -379,7 +411,13 @@ def append_delta(
         new_files, snap["files"], operation="append-delta", batch_id=batch_id,
         metrics=metrics,
     )
-    return {"version": version, "metrics": metrics, "noop": False, "errors": None}
+    return {
+        "version": version,
+        "metrics": metrics,
+        "noop": False,
+        "errors": None,
+        "lineage": lineage,
+    }
 
 
 def compact(

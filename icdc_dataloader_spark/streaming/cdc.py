@@ -140,49 +140,14 @@ class CDCPipeline:
                 self.ledger.record(bid, snap["version"], {}, {})
             return {"batch_id": bid, "noop": True}
 
-        annotated = self._annotate(batch_df).persist()
+        from pyspark.sql import Observation
+
+        annotated = self._annotate(batch_df)
         ok = F.size("_errs") == 0
-
-        # ONE aggregation job: per-bucket lineage + touched buckets +
-        # NEW-op presence + quarantine count, all from the cached scan
-        stats = (
-            annotated.groupBy("_bucket")
-            .agg(
-                F.min(F.when(ok, F.col(self.seq_col))).alias("min_seq"),
-                F.max(F.when(ok, F.col(self.seq_col))).alias("max_seq"),
-                F.sum(F.when(ok, 1).otherwise(0)).alias("rows"),
-                F.sum(F.when(~ok, 1).otherwise(0)).alias("n_bad"),
-                F.max(
-                    F.when(ok & (F.col(self.op_col) == "new"), 1).otherwise(0)
-                ).alias("any_new"),
-            )
-            .collect()
+        obs = Observation()
+        annotated = annotated.observe(
+            obs, F.sum(F.when(~ok, 1).otherwise(0)).alias("n_bad")
         )
-        lineage = {
-            str(r["_bucket"]): {
-                "min_seq": r["min_seq"],
-                "max_seq": r["max_seq"],
-                "rows": r["rows"],
-            }
-            for r in stats
-            if r["rows"] > 0
-        }
-        touched = sorted(r["_bucket"] for r in stats if r["rows"] > 0)
-        has_new = any(r["any_new"] for r in stats)
-        n_errors = int(sum(r["n_bad"] for r in stats))
-
-        # quarantined rows -> error table (from cache; skipped when clean)
-        if self.error_dir and n_errors:
-            errors = (
-                annotated.filter(~ok)
-                .select(
-                    F.col(self.seq_col).cast("long").alias("row_id"),
-                    F.explode("_errs").alias("e"),
-                )
-                .select("row_id", "e.property", "e.value", "e.reason", "e.severity")
-            )
-            out = os.path.join(self.error_dir, f"batch={bid}")
-            errors.write.mode("overwrite").parquet(out)
 
         valid = annotated.filter(ok).drop("_errs")
         tiebreakers = ["commit", "content_sha256"]
@@ -202,6 +167,8 @@ class CDCPipeline:
             merge_out = os.path.join(self.error_dir, f"batch={bid}-merge")
             merge_err_sink = lambda df: df.write.mode("overwrite").parquet(merge_out)
         if self.strategy == "mor":
+            # single-job fast path: append_delta's write fills the
+            # quarantine observation; lineage comes from parquet footers
             res = append_delta(
                 self.spark,
                 self.lake,
@@ -210,9 +177,8 @@ class CDCPipeline:
                 batch_id=bid,
                 error_sink=merge_err_sink,
                 pre_dedup=True,
-                touched=touched,
-                has_new=has_new,
             )
+            lineage = res.get("lineage") or {}
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
                 compact(self.spark, self.lake)
@@ -225,10 +191,42 @@ class CDCPipeline:
                 tiebreakers=tiebreakers,
                 batch_id=bid,
                 error_sink=merge_err_sink,
-                touched=touched,
             )
+            # COW lineage: per-bucket min/max applied seq (separate small agg)
+            lineage_rows = (
+                annotated.filter(ok)
+                .groupBy("_bucket")
+                .agg(
+                    F.min(self.seq_col).alias("min_seq"),
+                    F.max(self.seq_col).alias("max_seq"),
+                    F.count(F.lit(1)).alias("rows"),
+                )
+                .collect()
+            )
+            lineage = {
+                str(r["_bucket"]): {
+                    "min_seq": r["min_seq"],
+                    "max_seq": r["max_seq"],
+                    "rows": r["rows"],
+                }
+                for r in lineage_rows
+            }
 
-        annotated.unpersist()
+        n_errors = int(obs.get.get("n_bad") or 0)
+        # quarantined rows -> error table (recomputed; rare path)
+        if self.error_dir and n_errors:
+            errors = (
+                self._annotate(batch_df)
+                .filter(F.size("_errs") > 0)
+                .select(
+                    F.col(self.seq_col).cast("long").alias("row_id"),
+                    F.explode("_errs").alias("e"),
+                )
+                .select("row_id", "e.property", "e.value", "e.reason", "e.severity")
+            )
+            out = os.path.join(self.error_dir, f"batch={bid}")
+            errors.write.mode("overwrite").parquet(out)
+
         metrics = dict(res["metrics"])
         metrics["rows_quarantined"] = n_errors
         self.ledger.record(bid, res["version"], metrics, lineage)
