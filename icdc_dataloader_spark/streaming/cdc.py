@@ -67,6 +67,13 @@ class CDCPipeline:
           compaction every ``compact_every`` batches folds deltas into a
           new base.  Identical final state (tested) — this is the ingest
           path that survives 10^10 events.
+
+        ``pre_dedup``: explicit in-batch key-salted two-phase LWW before the
+        append.  OFF by default for MoR: the read-time resolve/compaction
+        aggregation performs the same LWW anyway, so pre-dedup pays two
+        extra full-payload shuffles per batch and only helps when batches
+        are extremely duplicate-heavy (hot-key bursts) — turn it on there
+        to bound delta size by the batch's key count.
         """
         self.spark = spark
         self.lake = lake
@@ -151,7 +158,8 @@ class CDCPipeline:
 
         valid = annotated.filter(ok).drop("_errs")
         tiebreakers = ["commit", "content_sha256"]
-        if self.pre_dedup:
+        if self.pre_dedup and self.strategy != "mor":  # mor dedups inside append
+
             valid = lww_dedup(
                 valid,
                 self.key_cols,
@@ -176,7 +184,7 @@ class CDCPipeline:
                 tiebreakers=tiebreakers,
                 batch_id=bid,
                 error_sink=merge_err_sink,
-                pre_dedup=True,
+                pre_dedup=self.pre_dedup,
             )
             lineage = res.get("lineage") or {}
             self._batches_since_compact += 1
