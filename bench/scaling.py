@@ -78,19 +78,15 @@ def run_level(cpus: int, events: str, workdir: str, zpath: str, compact_every: i
         "--compact-every", str(compact_every),
     ]
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
-    best = None
-    for _rep in range(2):  # best-of-2: single runs are +-15% noisy on a VM
-        t0 = time.time()
-        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stdout[-3000:] + proc.stderr[-5000:])
-            raise RuntimeError(f"local[{cpus}] run failed")
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        res = json.loads(line)
-        res["wall_sec_incl_startup"] = round(time.time() - t0, 1)
-        if best is None or res["elapsed_sec"] < best["elapsed_sec"]:
-            best = res
-    return best
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-3000:] + proc.stderr[-5000:])
+        raise RuntimeError(f"local[{cpus}] run failed")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    res["wall_sec_incl_startup"] = round(time.time() - t0, 1)
+    return res
 
 
 
@@ -134,9 +130,20 @@ def main():
     zpath = build_pyfiles_zip(workdir)
     events = generate_events(workdir, args.events)
 
+    # interleave levels and repeat: the VM's deliverable CPU drifts over
+    # minutes, so A,B,A,B with best-of pairing is drift-robust
     hw = hardware_baseline(args.low, args.high)
     lo = run_level(args.low, events, workdir, zpath, args.compact_every)
     hi = run_level(args.high, events, workdir, zpath, args.compact_every)
+    lo2 = run_level(args.low, events, workdir, zpath, args.compact_every)
+    hi2 = run_level(args.high, events, workdir, zpath, args.compact_every)
+    if lo2["elapsed_sec"] < lo["elapsed_sec"]:
+        lo = lo2
+    if hi2["elapsed_sec"] < hi["elapsed_sec"]:
+        hi = hi2
+    hw2 = hardware_baseline(args.low, args.high)
+    if hw2["speedup"] > hw["speedup"]:
+        hw = hw2
     ratio = args.high / args.low
     eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
     hw_eff = hw["speedup"] / ratio
@@ -148,8 +155,8 @@ executors.  No real cluster exists in this sandbox; per driver instruction
 the same job ran at two local parallelism levels (cold JVM each,
 `spark-submit --py-files`, identical pre-generated input, JIT warmed up on
 a 50k-event throwaway slice before timing so the number is steady-state
-throughput, not JVM cold start; best of 2 repetitions per level — single
-runs vary +-15% on a shared VM).  N={args.low}, 4N={args.high} (this VM's
+throughput, not JVM cold start; levels interleaved A,B,A,B and best-of-2 per level
+— the VM's deliverable CPU drifts over minutes).  N={args.low}, 4N={args.high} (this VM's
 vCPUs throttle per-core as more engage — see the hardware baseline below —
 so the criterion is evidenced in the regime where the hardware itself can
 scale; on a real cluster executors have isolated cores and this ceiling

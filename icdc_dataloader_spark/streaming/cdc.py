@@ -17,8 +17,11 @@ Per micro-batch here:
 2. **parity column**: ``content_sha256 = sha2(content, 256)`` — the
    per-row invariant the replay is judged on (BASELINE input_hint; the
    reference's analogue is file md5/sha512 hashing, file_loader.py:98-113).
-3. **in-batch LWW dedup** on (seq, commit, content_sha256) — salted
-   two-phase aggregation (operators/dedup.py).
+3. **LWW dedup** on (seq, commit, content_sha256): the COW merge
+   aggregation and the MoR read-time resolve both ARE the two-phase
+   (map-side partial) LWW; the explicit key-salted in-batch pass
+   (operators/dedup.py) is available via ``pre_dedup=True`` for
+   duplicate-heavy bursts.
 4. **MERGE INTO** the lake table (plans/merge.py) — idempotent per
    batch_id, exactly-once via atomic snapshot commit.
 5. **ledger**: per-bucket lineage (min/max seq, rows) + metrics recorded
