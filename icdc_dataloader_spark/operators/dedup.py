@@ -148,21 +148,40 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 5,
+    repartition: bool = True,
 ) -> DataFrame:
     """MinHash signature per doc: num_hashes 64-bit min values over shingles.
 
     All JVM-side: shingle -> xxhash64(shingle, seed_i) -> array_min.  No
-    Python in the loop; one narrow map stage.
+    Python in the loop; one map stage.  Two scale details:
+
+    - the shingle array is materialized ONCE per row (hash the shingles to
+      longs first), so the num_hashes min-expressions reuse it instead of
+      re-building 100+ strings per row per hash function;
+    - compute-heavy-but-small inputs (one parquet file) are repartitioned
+      to the session's parallelism — a single input split must not
+      serialize the whole corpus onto one core.
+
     Output: (id, sig: array<long>).
     """
-    sh = _shingles(F.col(text_col), shingle_k)
+    if repartition:
+        sc = df.sparkSession.sparkContext
+        df = df.repartition(sc.defaultParallelism)
+    # shingle strings -> one base hash per shingle, materialized as a column
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("_sh"),
+    )
+    # per-function hash = cheap remix of the base hash (xxhash64 of a long)
     mins = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(F.col("_sh"), lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), mins.alias("sig"))
+    return base.select("id", mins.alias("sig"))
 
 
 def minhash_lsh_dedup(
@@ -173,6 +192,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + bucket join.
 
@@ -180,15 +200,20 @@ def minhash_lsh_dedup(
     band -> explode (band_id, band_hash) -> self-join on the bucket ->
     estimate Jaccard from signature agreement -> filter by threshold.
 
-    The candidate join is an equi-join on (band_id, band_hash): co-located
-    by the shuffle, no cross product.  Output: (id_a, id_b, est_jaccard)
-    with id_a < id_b, distinct.
+    Scale discipline (what keeps this linear-ish at 100 TB):
+
+    - buckets larger than ``max_bucket_size`` are dropped before the
+      self-join — an oversized bucket is non-discriminative (stop-phrase
+      shingles) and would contribute O(size^2) candidate pairs;
+    - the self-join and pair-dedup carry ONLY ids; the 32-long signatures
+      are re-attached to the deduplicated pairs afterwards.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -208,18 +233,25 @@ def minhash_lsh_dedup(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    capped = banded.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket_size).select(
+            "band_id", "band_hash"
+        ),
+        ["band_id", "band_hash"],
     )
+    a = capped.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+    b = capped.select(F.col("id").alias("id_b"), "band_id", "band_hash")
     pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -230,7 +262,9 @@ def minhash_lsh_dedup(
         / F.lit(float(num_hashes))
     ).alias("est_jaccard")
     return (
-        pairs.select("id_a", "id_b", est)
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
     )
 
@@ -242,9 +276,11 @@ def simhash(
 
     Each word hashes to 64 bits; the fingerprint bit_i = sign of the sum of
     (+1/-1) over word-hash bit_i.  Expressed with aggregate() over the word
-    array — no shuffle, one map stage.
+    array — no shuffle, one map stage (repartitioned to session parallelism
+    so a single input split doesn't serialize the corpus onto one core).
     Output: (id, simhash: long).
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # accumulate per-bit counts: array of `bits` ints
     zero = F.array_repeat(F.lit(0), bits)
