@@ -126,7 +126,11 @@ def interval_join_visits_to_cycles(
     Plan: equi-join on case + range predicate, then row_number per visit.
     At scale the equi key keeps this a hash join; cycles-per-case is small.
     """
-    w_first = Window.partitionBy(case_col).orderBy(F.col(cycle_start).asc())
+    # ties on start date broken by cycle id => deterministic under any
+    # partitioning (the reference relies on Neo4j's ORDER BY stability)
+    w_first = Window.partitionBy(case_col).orderBy(
+        F.col(cycle_start).asc(), F.col(cycle_id).asc()
+    )
     c = cycles.select(
         F.col(case_col).alias("_case"),
         F.col(cycle_id).alias("cycle_id"),
@@ -134,9 +138,7 @@ def interval_join_visits_to_cycles(
         F.coalesce(F.col(cycle_end).cast("date"), F.lit(open_end).cast("date")).alias(
             "_end"
         ),
-        (F.row_number().over(
-            Window.partitionBy(case_col).orderBy(F.col(cycle_start).asc())
-        ) == 1).alias("_is_first"),
+        (F.row_number().over(w_first) == 1).alias("_is_first"),
     )
     v = visits.select(
         F.col(case_col).alias("_case"),
@@ -150,7 +152,9 @@ def interval_join_visits_to_cycles(
         (F.col("_vdate") >= lower) & (F.col("_vdate") <= F.col("_end"))
         | F.col("cycle_id").isNull()
     )
-    pick = Window.partitionBy("_case", "_vdate").orderBy(F.col("_start").asc_nulls_last())
+    pick = Window.partitionBy("_case", "_vdate").orderBy(
+        F.col("_start").asc_nulls_last(), F.col("cycle_id").asc_nulls_last()
+    )
     out = (
         joined.withColumn("_rn", F.row_number().over(pick))
         .filter(F.col("_rn") == 1)

@@ -813,3 +813,73 @@ ORACLES = {
     "ngram_jaccard_docs": NGRAM_SQL,
     "ann_cosine_topk": ANN_SQL,
 }
+
+
+def interval_join_visit_cycle(spark, sf_dir):
+    """J8 (visit_creator.py:99-173) over TPC-H shapes: per customer, orders
+    ordered by date form 'cycles' (end = next start - 1 day, last open);
+    lineitem ship dates are 'visits'; each visit attaches to its containing
+    cycle, <=7 days before the first cycle attaches to it, no match -> NULL."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cycles = orders.select(
+        F.col("o_custkey").alias("case_id"),
+        F.col("o_orderkey").alias("cycle_id"),
+        F.col("o_orderdate").cast("date").alias("start_date"),
+        F.date_sub(F.lead(F.col("o_orderdate").cast("date")).over(w), 1).alias(
+            "end_date"
+        ),
+    )
+    visits = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("case_id"),
+            F.col("l_shipdate").cast("date").alias("visit_date"),
+        )
+        .distinct()
+    )
+    out = relationships.interval_join_visits_to_cycles(
+        visits, cycles, case_col="case_id", visit_date="visit_date",
+        cycle_start="start_date", cycle_end="end_date", cycle_id="cycle_id",
+        predate_days=7,
+    )
+    return out.select(
+        "case_id",
+        F.date_format("visit_date", "yyyy-MM-dd").alias("visit_date"),
+        "cycle_id",
+    ).orderBy("case_id", "visit_date", "cycle_id")
+
+
+INTERVAL_SQL = """
+WITH cycles AS (
+  SELECT o_custkey AS case_id, o_orderkey AS cycle_id,
+         CAST(o_orderdate AS DATE) AS start_,
+         lead(CAST(o_orderdate AS DATE)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           - INTERVAL 1 DAY AS end_,
+         ROW_NUMBER() OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), visits AS (
+  SELECT DISTINCT o_custkey AS case_id, CAST(l_shipdate AS DATE) AS vdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), matched AS (
+  SELECT v.case_id, v.vdate, c.cycle_id,
+         ROW_NUMBER() OVER (PARTITION BY v.case_id, v.vdate
+                            ORDER BY c.start_, c.cycle_id) AS pick
+  FROM visits v JOIN cycles c ON v.case_id = c.case_id
+   AND v.vdate >= (CASE WHEN c.rn = 1 THEN c.start_ - INTERVAL 7 DAY ELSE c.start_ END)
+   AND v.vdate <= COALESCE(CAST(c.end_ AS DATE), DATE '9999-12-31')
+)
+SELECT v.case_id AS case_id, strftime(v.vdate, '%Y-%m-%d') AS visit_date,
+       m.cycle_id AS cycle_id
+FROM visits v LEFT JOIN (SELECT * FROM matched WHERE pick = 1) m
+     ON v.case_id = m.case_id AND v.vdate = m.vdate
+ORDER BY v.case_id, visit_date, m.cycle_id
+"""
+
+QUERIES["interval_join_visit_cycle"] = interval_join_visit_cycle
+ORACLES["interval_join_visit_cycle"] = INTERVAL_SQL
