@@ -34,10 +34,11 @@ from .merge import merge_into, read_state, table_schema
 
 
 class GraphLoader:
-    def __init__(self, spark: SparkSession, root: str, model: Model):
+    def __init__(self, spark: SparkSession, root: str, model: Model, registry=None):
         self.spark = spark
         self.root = root
         self.model = model
+        self.registry = registry  # plugins.PluginRegistry | None (§2.10)
         self._node_lakes: dict[str, LakeTable] = {}
         self._edge_lake: LakeTable | None = None
         self._seq = 0
@@ -77,6 +78,15 @@ class GraphLoader:
 
     def nodes(self, node_type: str) -> DataFrame:
         return read_state(self.spark, self._node_lakes[node_type])
+
+    def _evolve_for(self, lake: LakeTable, df: DataFrame) -> None:
+        """Add any new columns the derived rows carry (no rewrite)."""
+        cur = lake.schema()
+        have = {f.name for f in cur.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in have]
+        if new_fields:
+            evolved = T.StructType(list(cur.fields) + new_fields)
+            lake.evolve_schema(evolved)
 
     def edges(self) -> DataFrame:
         return read_state(self.spark, self.edge_lake())
@@ -172,6 +182,40 @@ class GraphLoader:
             )
             subset = raw_edges.filter(F.col("parent_type") == parent_type)
             resolved = subset.join(F.broadcast(parents), "parent_id", "left")
+
+            # MISSING_PARENT plugin event (data_loader.py:988-1001): a
+            # registered derivation stage may synthesize the missing parents
+            # (VisitCreator analogue) — merge them, then re-resolve once.
+            if self.registry is not None:
+                from ..plugins import EVENT_MISSING_PARENT
+
+                missing_df = resolved.filter(F.col("parent_uuid").isNull()).select(
+                    "child_uuid", "parent_id"
+                )
+                derivations = self.registry.run(
+                    self.spark, EVENT_MISSING_PARENT, parent_type, missing_df
+                )
+                for plugin, derived in derivations:
+                    lake = self.node_lake(parent_type, derived.schema)
+                    self._evolve_for(lake, derived)
+                    seq = self._next_seq()
+                    staged = derived.withColumn("_seq", F.lit(seq)).withColumn(
+                        "_op", F.lit("upsert")
+                    )
+                    res = merge_into(
+                        self.spark, lake, staged,
+                        batch_id=f"plugin-{parent_type}-{seq}",
+                    )
+                    plugin.nodes_created = getattr(plugin, "nodes_created", 0) + res[
+                        "metrics"
+                    ].get("rows_inserted", 0)
+                if derivations:
+                    parents = self.nodes(parent_type).select(
+                        F.col(id_field).cast("string").alias("parent_id"),
+                        F.col("uuid").alias("parent_uuid"),
+                    )
+                    resolved = subset.join(F.broadcast(parents), "parent_id", "left")
+
             missing += resolved.filter(F.col("parent_uuid").isNull()).count()
             parts.append(
                 resolved.filter(F.col("parent_uuid").isNotNull()).select(
