@@ -90,6 +90,35 @@ def make_uuid5_udf(domain: str):
     return uuid5_udf
 
 
+def uuid5_expr(domain: str, node_type: str, sig_col: Column) -> Column:
+    """Fully JVM-native uuid5 (no Python in the loop, unlike the pandas UDF).
+
+    RFC-4122 v5 = sha1(namespace_bytes || utf8(name)) truncated to 16 bytes
+    with the version nibble forced to 5 and the variant nibble to 10xx.  The
+    two outer levels of the reference's 3-level chain (domain, node_type —
+    bento.common.utils get_uuid, icdc_schema.py:119-128) are constants, so
+    they are pre-computed driver-side; only the innermost sha1 runs per row,
+    as a Catalyst expression inside whole-stage codegen:
+
+        sha1(lit(ns2_bytes) ++ encode(sig)) -> hex -> splice version/variant.
+
+    The variant nibble map (x & 0x3 | 0x8) is a 16-char translate().
+    """
+    ns2 = _uuid5_bytes(_uuid5_bytes(uuid.NAMESPACE_URL.bytes, domain), node_type)
+    h = F.sha1(F.concat(F.lit(ns2), F.encode(sig_col.cast("string"), "utf-8")))
+    variant = F.translate(
+        F.substring(h, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
 def get_signature(node: dict) -> str:
     """Reference get_signature (data_loader.py:491-497)."""
     result = []

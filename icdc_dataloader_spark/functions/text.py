@@ -111,15 +111,27 @@ def lang_id(col: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def doc_fingerprint(col: Column, modulus: int = 1_000_000_007, base: int = 131) -> Column:
+def doc_fingerprint(
+    col: Column,
+    modulus: int = 1_000_000_007,
+    base: int = 131,
+    hash_mode: str = "xxhash64",
+) -> Column:
     """Rolling polynomial hash over word hashes: fp = sum(h_i * base^i) mod M.
 
     Order-sensitive (unlike a bag-of-words hash) and computable in one
-    aggregate pass.
+    aggregate pass.  ``hash_mode='portable'`` swaps the word hash for the
+    md5-derived cross-engine primitive (functions/porthash.py) so the exact
+    value is verifiable in DuckDB; 'xxhash64' is the codegen scale path.
     """
-    word_hashes = F.transform(
-        tokens(F.lower(col)), lambda t: F.pmod(F.xxhash64(t), F.lit(modulus))
+    from .porthash import hex_int
+
+    word_hash = (
+        (lambda t: F.pmod(hex_int(t), F.lit(modulus)))
+        if hash_mode == "portable"
+        else (lambda t: F.pmod(F.xxhash64(t), F.lit(modulus)))
     )
+    word_hashes = F.transform(tokens(F.lower(col)), word_hash)
     acc0 = F.struct(F.lit(0).cast("long").alias("fp"), F.lit(1).cast("long").alias("pw"))
     step = lambda acc, h: F.struct(
         F.pmod(acc["fp"] + h * acc["pw"], F.lit(modulus)).alias("fp"),

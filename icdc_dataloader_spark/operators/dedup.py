@@ -149,10 +149,11 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 5,
     repartition: bool = True,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: num_hashes 64-bit min values over shingles.
 
-    All JVM-side: shingle -> xxhash64(shingle, seed_i) -> array_min.  No
+    All JVM-side: shingle -> hash(shingle, seed_i) -> array_min.  No
     Python in the loop; one map stage.  Two scale details:
 
     - the shingle array is materialized ONCE per row (hash the shingles to
@@ -162,22 +163,38 @@ def minhash_signatures(
       to the session's parallelism — a single input split must not
       serialize the whole corpus onto one core.
 
+    ``hash_mode='portable'`` uses the md5-derived cross-engine primitive
+    (functions/porthash.py) so the DuckDB oracle can replicate the full
+    algorithm value-for-value; 'xxhash64' is the codegen scale path.
+
     Output: (id, sig: array<long>).
     """
+    from ..functions.porthash import hex_int, remix
+
     if repartition:
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism)
     # shingle strings -> one base hash per shingle, materialized as a column
+    base_hash = hex_int if hash_mode == "portable" else F.xxhash64
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(
-            _shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+            _shingles(F.col(text_col), shingle_k), lambda s: base_hash(s)
         ).alias("_sh"),
     )
-    # per-function hash = cheap remix of the base hash (xxhash64 of a long)
+    # per-function hash = cheap remix of the base hash.  NB: the transform
+    # lambda must be unary — a second parameter would be bound to the array
+    # INDEX by Spark's higher-order-function protocol.
+    if hash_mode == "portable":
+        def _remix_i(i):
+            return lambda h: remix(h, i)
+    else:
+        def _remix_i(i):
+            return lambda h: F.xxhash64(h, F.lit(i))
+
     mins = F.array(
         *[
-            F.array_min(F.transform(F.col("_sh"), lambda h: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(F.col("_sh"), _remix_i(i)))
             for i in range(num_hashes)
         ]
     )
@@ -193,6 +210,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 200,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + bucket join.
 
@@ -210,14 +228,19 @@ def minhash_lsh_dedup(
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
+    from ..functions.porthash import hex_int
+
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_hash_fn = hex_int if hash_mode == "portable" else F.xxhash64
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, hash_mode=hash_mode
+    )
     banded = sigs.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    band_hash_fn(
                         F.concat_ws(
                             ",",
                             *[
@@ -309,6 +332,49 @@ def simhash(
         bit_vals, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
     )
     return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Cross-engine-verifiable SimHash (same algorithm, portable word hash).
+
+    Word hash = first 8 md5 hex chars as int (functions/porthash.py), word
+    stream = non-empty whitespace tokens of lower(trim(text)), fingerprint
+    bit_i set iff strictly more word hashes have bit_i set than clear.
+    Replicated term-for-term by the DuckDB oracle (hash_queries.SIMHASH_SQL).
+    Output: (id, simhash: long).  Still one JVM map stage — the md5 is
+    ~3x the cost of xxhash64 but stays in codegen.
+    """
+    from ..functions.porthash import hex_int
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    # materialize the hashed-word array ONCE per row; the 32 per-bit counts
+    # below reuse it instead of re-hashing every word per bit
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: hex_int(t, 8)).alias("_hs"),
+    )
+    n = F.size(F.col("_hs"))
+
+    def _bit_set(i):  # unary lambda: 2-arg form would bind the array index
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    terms = []
+    for i in range(bits):
+        set_cnt = F.size(F.filter(F.col("_hs"), _bit_set(i)))
+        terms.append(
+            F.when((n > 0) & (set_cnt * 2 > n), F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    fingerprint = terms[0]
+    for t in terms[1:]:
+        fingerprint = fingerprint + t
+    return hashed.select("id", fingerprint.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

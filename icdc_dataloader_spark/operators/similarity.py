@@ -75,29 +75,85 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign_bits(vec_col, dim: int, n_planes: int, seed: int):
-    """LSH bucket id: sign bits of dot(v, plane_j) for deterministic
-    pseudo-random planes plane_j[i] = hash(seed, j, i) mapped to [-1, 1)."""
-    bits = []
-    for j in range(n_planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(j), i), F.lit(2_000_000))
-                / F.lit(1_000_000.0)
-            )
-            - F.lit(1.0),
-        )
-        d = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**j))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+def wta_pairs(dim: int, n_bits: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic coordinate pairs for rank-correlation LSH.
+
+    Bit j of the bucket id is ``vec[p_j] >= vec[q_j]`` — an axis-pair
+    comparison, i.e. a random hyperplane with exactly two nonzero (+1/-1)
+    entries.  This is the 2-ary case of Winner-Take-All hashing (Yagnik et
+    al., ICCV 2011, public): locality-sensitive for rank/cosine similarity
+    on roughly isotropic embeddings, and — unlike real-valued hyperplane
+    dots — decided by a single float comparison, so the bucket id is
+    bit-reproducible across engines (the DuckDB oracle replicates it
+    exactly; no summation-order / rounding hazard at the sign boundary).
+    """
+    import random
+
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(n_bits):
+        p = rng.randrange(dim)
+        q = rng.randrange(dim - 1)
+        if q >= p:
+            q += 1  # q != p
+        pairs.append((p, q))
+    return pairs
+
+
+def wta_bucket_expr(vec_col, pairs: list[tuple[int, int]]):
+    """bucket id = sum_j 2^j * [vec[p_j] >= vec[q_j]]  (element_at 1-based)."""
+    out = None
+    for j, (p, q) in enumerate(pairs):
+        bit = F.when(
+            F.element_at(vec_col, p + 1) >= F.element_at(vec_col, q + 1),
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
     return out
+
+
+def _tabled_buckets(
+    df: DataFrame,
+    role_id: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, vec, table_id, bucket) — one row per (input row, hash table)."""
+    parts = []
+    for t in range(n_tables):
+        pairs = wta_pairs(dim, n_planes, seed + 1000 * t)
+        parts.append(
+            df.select(
+                F.col(id_col).alias(role_id),
+                F.col(vec_col).alias(f"_{role_id}_v"),
+                F.lit(t).alias("table_id"),
+                wta_bucket_expr(F.col(vec_col), pairs).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop non-discriminative buckets BEFORE the candidate join.
+
+    A degenerate bucket (e.g. all-zero vectors collapsing every comparison
+    to 'equal') would otherwise contribute O(size^2) candidate pairs —
+    same cap as minhash_lsh_dedup (dedup.py) applies.
+    """
+    sizes = banded.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    return banded.join(
+        F.broadcast(sizes.filter(F.col("_n") <= max_bucket_size)).select(
+            "table_id", "bucket"
+        ),
+        ["table_id", "bucket"],
+    )
 
 
 def lsh_topk(
@@ -110,33 +166,26 @@ def lsh_topk(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates, exact rerank.
+    """Approximate top-k: WTA-bucket-join candidates, exact rerank.
 
     Corpus is scanned once per table (union), shuffled by (table, bucket) —
     candidate sets are tiny vs the corpus, so the expensive rerank is
-    bounded.  Recall improves with n_tables.
+    bounded.  Recall improves with n_tables; oversized (non-discriminative)
+    buckets are dropped on the corpus side before the join (see
+    :func:`_cap_buckets`).  The whole pipeline — buckets, candidates, exact
+    rerank — is replicated by the DuckDB oracle (hash_queries.lsh_ann_sql).
     """
-    def with_buckets(df, role_id):
-        parts = []
-        for t in range(n_tables):
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(role_id),
-                    F.col(vec_col).alias(f"_{role_id}_v"),
-                    F.lit(t).alias("table_id"),
-                    _hyperplane_sign_bits(
-                        F.col(vec_col), dim, n_planes, seed + 1000 * t
-                    ).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    cb = with_buckets(corpus, "neighbor_id")
-    qb = with_buckets(queries, "query_id")
+    cb = _cap_buckets(
+        _tabled_buckets(
+            corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables, seed
+        ),
+        max_bucket_size,
+    )
+    qb = _tabled_buckets(
+        queries, "query_id", id_col, vec_col, dim, n_planes, n_tables, seed
+    )
     cand = cb.join(qb, ["table_id", "bucket"]).select(
         "query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v"
     ).dropDuplicates(["query_id", "neighbor_id"])
@@ -165,31 +214,28 @@ def embedding_cosine_near_dups(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 7,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (LSH-bucketed).
 
+    WTA buckets (see :func:`wta_pairs`) with the same oversized-bucket cap
+    as minhash_lsh_dedup, then exact cosine on the candidate pairs only.
+    Identical vectors land in the same bucket in EVERY table (all
+    comparisons equal), so true duplicates are found with probability 1.
     Output: (id_a, id_b, sim) with id_a < id_b.
     """
-    def with_buckets(role):
-        parts = []
-        for t in range(n_tables):
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(role),
-                    F.col(vec_col).alias(f"_{role}_v"),
-                    F.lit(t).alias("table_id"),
-                    _hyperplane_sign_bits(
-                        F.col(vec_col), dim, n_planes, seed + 1000 * t
-                    ).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    a = with_buckets("id_a")
-    b = with_buckets("id_b")
+    banded = _cap_buckets(
+        _tabled_buckets(df, "id", id_col, vec_col, dim, n_planes, n_tables, seed),
+        max_bucket_size,
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("_id_v").alias("_id_a_v"),
+        "table_id", "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("_id_v").alias("_id_b_v"),
+        "table_id", "bucket",
+    )
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

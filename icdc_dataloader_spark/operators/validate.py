@@ -183,6 +183,34 @@ def validation_errors(
     ).select("row_id", "e.property", "e.value", "e.reason", "e.severity")
 
 
+def cap_violations(
+    errors: DataFrame,
+    max_violations: int,
+    per: tuple = ("property", "reason"),
+    row_id_col: str = "row_id",
+) -> DataFrame:
+    """V8 (data_loader.py:722-724): stop reporting after ``max_violations``.
+
+    The reference counts violations per check while looping rows and stops
+    appending past the cap; the set-oriented analogue keeps the FIRST
+    ``max_violations`` error rows (ordered by row id) per (property, reason)
+    — deterministic under any partitioning, and at scale it bounds the error
+    relation instead of materializing millions of rows for a poisoned
+    column.  The windowed rank runs per small key group; Catalyst pushes the
+    rank filter into the window operator (no full sort of the table).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in per]).orderBy(
+        F.col(row_id_col).asc()
+    )
+    return (
+        errors.withColumn("_vn", F.row_number().over(w))
+        .filter(F.col("_vn") <= max_violations)
+        .drop("_vn")
+    )
+
+
 def validate_header(columns: list[str], node_type: str, model: Model) -> dict:
     """V1 (data_loader.py:578-627): driver-side header-vs-model diff.
 

@@ -315,6 +315,30 @@ class LakeTable:
             schema=new_schema,
         )
 
+    def wipe(self, vacuum_now: bool = True) -> int:
+        """J10 (data_loader.py:1189-1220): delete everything in the table.
+
+        The reference wipes in 1000-node delete transactions (wipe_db,
+        data_loader.py:1200-1220); under snapshot semantics the whole loop
+        collapses to ONE metadata-only commit of an empty file list — O(1)
+        regardless of table size.  Old data files are reclaimed by vacuum
+        (time travel to pre-wipe versions is gone once vacuumed, matching
+        the reference's destructive wipe).
+        """
+        snap = self.snapshot()
+        version = self.commit(
+            [],
+            [],
+            operation="wipe",
+            metrics={
+                "files_wiped": len(snap["files"]),
+                "rows_wiped": sum(f.get("rows", 0) for f in snap["files"]),
+            },
+        )
+        if vacuum_now:
+            self.vacuum(keep_last=1)
+        return version
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Delete data dirs referenced only by snapshots older than the last N."""
         latest = self.latest_version()

@@ -700,53 +700,10 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
-# --- rows-only queries (no SQL-expressible oracle; driver does row checks) --
+# --- hash-based operator queries (portable-hash mode, full DuckDB oracle
+# replicas — see hash_queries.py; round 1 shipped these as rows-only) -------
 
-
-def minhash_near_dups(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.3).orderBy(
-        "id_a", "id_b"
-    )
-
-
-def simhash_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash(docs).orderBy("id")
-
-
-def doc_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
-
-
-def uuid5_synthesis(spark, sf_dir):
-    from .functions.identity import make_uuid5_udf
-
-    docs = _t(spark, sf_dir, "documents")
-    u = make_uuid5_udf("repos.example.org")
-    return docs.select(
-        "doc_id",
-        u(F.lit("document"), F.col("doc_id").cast("string")).alias("uuid"),
-    ).orderBy("doc_id")
-
-
-def lsh_ann_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    corpus = emb.filter(F.col("vec_id") >= 10)
-    return similarity.lsh_topk(corpus, queries, dim=64, k=5).orderBy(
-        "query_id", "rank"
-    )
-
-
-def embedding_near_dups(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_cosine_near_dups(emb, threshold=0.9).orderBy(
-        "id_a", "id_b"
-    )
+from .hash_queries import HASH_ORACLES, HASH_QUERIES  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -778,13 +735,7 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "ann_cosine_topk": ann_cosine_topk,
-    # rows-only (non-SQL-expressible: hash functions / approximate)
-    "minhash_near_dups": minhash_near_dups,
-    "simhash_fingerprints": simhash_fingerprints,
-    "doc_fingerprints": doc_fingerprints,
-    "uuid5_synthesis": uuid5_synthesis,
-    "lsh_ann_topk": lsh_ann_topk,
-    "embedding_near_dups": embedding_near_dups,
+    **HASH_QUERIES,
 }
 
 ORACLES = {
@@ -812,6 +763,7 @@ ORACLES = {
     "lang_id_heuristic": LANG_SQL,
     "ngram_jaccard_docs": NGRAM_SQL,
     "ann_cosine_topk": ANN_SQL,
+    **HASH_ORACLES,
 }
 
 
