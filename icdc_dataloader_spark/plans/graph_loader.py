@@ -8,29 +8,82 @@ Mirrors ``DataLoader.load`` / ``_load_all`` (data_loader.py:267-372):
    parents from any file exist before edges resolve
    (data_loader.py:365-372 — the stage barrier);
 3. relationship pass: resolve parent pointers (J2), enforce multiplicity
-   (J3/J4), upsert edges (J5); missing parents are reported (the
-   MISSING_PARENT plugin event, data_loader.py:988-1001);
-4. per-type created/updated counters (W6, data_loader.py:341-363).
+   (J3/J4 — one surviving parent per (child, rel) for many_to_one with the
+   old edge tombstoned, one edge per (child, rel, parent) pair for
+   many_to_many, icdc_schema.py:236 / data_loader.py:687,1076-1085);
+   missing parents are reported / healed by MISSING_PARENT plugins
+   (data_loader.py:988-1001);
+4. NODE_LOADED plugins fire per loaded node type (data_loader.py:1158-1161)
+   — set-oriented: once per (file, type) with the loaded rows, after the
+   relationship barrier so derivations (IndividualCreator) see the edges;
+5. per-type created/updated counters (W6, data_loader.py:341-363) plus the
+   duplicate-ID conflict report (V5, data_loader.py:660-692).
 
-Nodes live in one LakeTable per node type (keyed by the model id field);
-edges in one edge table keyed (child_uuid, rel_type[, parent_uuid]).
-Delete mode validates targets exist (V7) then cascades (J6).
+Scale/determinism notes:
+
+- the edge lake is keyed (child_uuid, rel_type, parent_uuid) — the
+  many_to_many shape; many_to_one re-parenting is expressed as an explicit
+  tombstone of the replaced pair, so multi-valued pointers never collapse
+  nondeterministically;
+- every staged row carries a content tiebreaker (``_sig``) so equal-seq
+  ties (all rows of one file share a batch seq) resolve deterministically
+  under any partitioning;
+- state is REHYDRATED from disk: node/edge lakes are discovered from the
+  root directory and the batch seq resumes past every persisted _seq and
+  batch id, so a second process over the same root appends instead of
+  silently no-opping (batch-id collision aborts loudly);
+- parent-side broadcast hints are size-gated by manifest row counts —
+  dimension-sized parents broadcast, large ones fall back to AQE's choice.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..model import Model
 from ..operators.cascade import cascade_delete_keys
-from ..operators.relationships import merge_edges, one_to_one_conflicts
+from ..operators.relationships import one_to_one_conflicts
+from ..operators.validate import duplicate_id_errors
+from ..functions.identity import props_signature_expr
 from ..sources import tsv
 from .lake import LakeTable
 from .merge import merge_into, read_state, table_schema
+
+# parent tables at or below this manifest row count get a broadcast hint;
+# larger ones are left to AQE (a 100x-scale parent table must not be
+# broadcast — the round-1 hardcoded hint OOMs there)
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def allocate_sequence_ids(
+    new_rows: DataFrame,
+    existing_max: int,
+    id_col: str,
+    order_col: str,
+    fmt: str = "%04d",
+) -> DataFrame:
+    """W8 (individual_creator.py:71-93): ``format(max(toInteger(id))+1,
+    '0000')`` per created node.
+
+    The reference allocates one id per transaction against the live graph;
+    the set-oriented analogue numbers the batch's new rows
+    ``existing_max + row_number`` over a deterministic order.  The global
+    window is a single task — correct here because sequence-id allocation
+    is inherently serial (the reference serializes it through Neo4j) and
+    the NEW-row set per batch is small; the bulk data never flows through
+    this window.
+    """
+    w = Window.orderBy(F.col(order_col).asc())
+    return new_rows.withColumn(
+        id_col,
+        F.format_string(fmt, (F.lit(existing_max) + F.row_number().over(w))),
+    )
 
 
 class GraphLoader:
@@ -42,6 +95,41 @@ class GraphLoader:
         self._node_lakes: dict[str, LakeTable] = {}
         self._edge_lake: LakeTable | None = None
         self._seq = 0
+        self._rehydrate()
+
+    # -- state rehydration ----------------------------------------------------
+
+    def _rehydrate(self) -> None:
+        """Recover node/edge lakes and the batch seq from a pre-existing
+        root, so a restarted loader resumes instead of silently no-opping
+        (round-1 gap: fresh _seq values lost LWW to persisted rows and
+        reused batch ids were swallowed by idempotence)."""
+        if not os.path.isdir(self.root):
+            return
+        for d in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, d)
+            if not os.path.isdir(os.path.join(full, "_log")):
+                continue
+            if d.startswith("nodes_"):
+                self._node_lakes[d[len("nodes_"):]] = LakeTable(full)
+            elif d == "edges":
+                self._edge_lake = LakeTable(full)
+        lakes = list(self._node_lakes.values())
+        if self._edge_lake is not None:
+            lakes.append(self._edge_lake)
+        max_seq = 0
+        for lake in lakes:
+            # manifest-only: per-file _seq stats, no data scan
+            for f in lake.snapshot()["files"]:
+                st = (f.get("stats") or {}).get("_seq") or {}
+                if st.get("max") is not None:
+                    max_seq = max(max_seq, int(st["max"]))
+            # batch ids embed the allocating seq ("<name>-<seq>")
+            for bid in lake.committed_batch_ids():
+                m = re.search(r"-(\d+)$", bid)
+                if m:
+                    max_seq = max(max_seq, int(m.group(1)))
+        self._seq = max_seq
 
     # -- table plumbing -------------------------------------------------------
 
@@ -52,6 +140,7 @@ class GraphLoader:
                 table_schema(payload),
                 key_cols=["uuid"],
                 n_buckets=4,
+                tiebreakers=["_sig"],
             )
         return self._node_lakes[node_type]
 
@@ -66,18 +155,25 @@ class GraphLoader:
                     T.StructField(
                         "rel_props", T.MapType(T.StringType(), T.StringType())
                     ),
+                    T.StructField("_sig", T.StringType()),
                 ]
             )
+            # per-pair key: many_to_many keeps one row per (child, rel,
+            # parent); many_to_one collapses via explicit re-parent
+            # tombstones in _stage_edges (reference remove_old_relationship,
+            # data_loader.py:1076-1085)
             self._edge_lake = LakeTable.create(
                 os.path.join(self.root, "edges"),
                 table_schema(payload),
-                key_cols=["child_uuid", "rel_type"],
+                key_cols=["child_uuid", "rel_type", "parent_uuid"],
                 n_buckets=4,
+                tiebreakers=["_sig"],
             )
         return self._edge_lake
 
     def nodes(self, node_type: str) -> DataFrame:
-        return read_state(self.spark, self._node_lakes[node_type])
+        df = read_state(self.spark, self._node_lakes[node_type])
+        return df.drop("_sig") if "_sig" in df.columns else df
 
     def _evolve_for(self, lake: LakeTable, df: DataFrame) -> None:
         """Add any new columns the derived rows carry (no rewrite)."""
@@ -89,7 +185,18 @@ class GraphLoader:
             lake.evolve_schema(evolved)
 
     def edges(self) -> DataFrame:
-        return read_state(self.spark, self.edge_lake())
+        df = read_state(self.spark, self.edge_lake())
+        return df.drop("_sig") if "_sig" in df.columns else df
+
+    def _parent_rows_estimate(self, node_type: str) -> int:
+        """Manifest-only row-count upper bound (drives the broadcast gate)."""
+        lake = self._node_lakes.get(node_type)
+        if lake is None:
+            return 0
+        return sum(f.get("rows", 0) for f in lake.snapshot()["files"])
+
+    def _maybe_broadcast(self, df: DataFrame, est_rows: int) -> DataFrame:
+        return F.broadcast(df) if est_rows <= BROADCAST_ROW_LIMIT else df
 
     # -- load ------------------------------------------------------------------
 
@@ -97,12 +204,59 @@ class GraphLoader:
         self._seq += 1
         return self._seq
 
+    @staticmethod
+    def _lake_max_seq(lake: LakeTable) -> int:
+        """Highest _seq ever applied, from manifest file stats (no scan)."""
+        mx = 0
+        for f in lake.snapshot()["files"]:
+            st = (f.get("stats") or {}).get("_seq") or {}
+            if st.get("max") is not None:
+                mx = max(mx, int(st["max"]))
+        return mx
+
+    def _merge(
+        self, lake: LakeTable, staged: DataFrame, batch_id: str, seq: int
+    ) -> dict:
+        # stale loader state must abort, not silently lose LWW: the batch
+        # seq has to be strictly ahead of everything the table has seen
+        # (catches both batch-id collisions and lower-seq replays)
+        persisted = self._lake_max_seq(lake)
+        if seq <= persisted:
+            raise RuntimeError(
+                f"batch seq {seq} is not ahead of the table's persisted max "
+                f"seq {persisted} ({lake.root}) — loader state is stale; "
+                "refusing to apply rows that would lose last-writer-wins"
+            )
+        res = merge_into(
+            self.spark, lake, staged, batch_id=batch_id, tiebreakers=["_sig"]
+        )
+        if res["noop"]:
+            raise RuntimeError(
+                f"batch id {batch_id!r} was already committed — loader seq "
+                "state is behind the table; refusing to silently drop data"
+            )
+        return res
+
+    @staticmethod
+    def _with_sig(df: DataFrame) -> DataFrame:
+        """Deterministic equal-seq tiebreaker: md5 over every payload column
+        (maps/arrays via to_json).  Same content -> same rank under any
+        partitioning; conflicting content -> a deterministic winner."""
+        parts = []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            if isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType)):
+                c = F.to_json(c)
+            parts.append(F.coalesce(c.cast("string"), F.lit("\x00null")))
+        return df.withColumn("_sig", F.md5(F.concat_ws("\x01", *parts)))
+
     def load_files(
         self, files: list[tuple[str, str]], mode: str = "upsert"
     ) -> dict:
         """files: [(node_type, tsv_path)].  Nodes for ALL files first, then
-        relationships (the reference's stage barrier, data_loader.py:365-372).
-        Returns per-type metrics + missing-parent / conflict reports.
+        relationships (the reference's stage barrier, data_loader.py:365-372),
+        then NODE_LOADED derivation plugins.  Returns per-type metrics +
+        missing-parent / conflict / duplicate-id reports.
         """
         prepared: list[tuple[str, DataFrame]] = []
         for node_type, path in files:
@@ -111,18 +265,32 @@ class GraphLoader:
             prepared.append((node_type, prep))
 
         metrics: dict = {}
+        dup_conflicts = 0
         # stage 1: nodes
         for node_type, prep in prepared:
             node_df = tsv.node_projection(prep, self.model).drop("type")
-            payload = node_df.schema
-            lake = self.node_lake(node_type, payload)
+            # V5 (data_loader.py:660-692): same id + same props signature =
+            # benign duplicate; differing signatures = surfaced conflict
+            # (the LWW pick below stays deterministic via _sig either way)
+            id_field = self.model.id_field(node_type)
+            if id_field in node_df.columns:
+                dup_conflicts += duplicate_id_errors(
+                    node_df.withColumn("_row", F.lit(0)),
+                    [id_field],
+                    props_signature_expr(
+                        [c for c in node_df.columns],
+                        self.model.rel_prop_delimiter,
+                    ),
+                    row_id_col="_row",
+                ).count()
+            staged_nodes = self._with_sig(node_df)
+            lake = self.node_lake(node_type, staged_nodes.schema)
+            self._evolve_for(lake, staged_nodes)
             seq = self._next_seq()
-            staged = node_df.withColumn("_seq", F.lit(seq)).withColumn(
+            staged = staged_nodes.withColumn("_seq", F.lit(seq)).withColumn(
                 "_op", F.lit(mode if mode != "delete" else "upsert")
             )
-            res = merge_into(
-                self.spark, lake, staged, batch_id=f"{node_type}-{seq}"
-            )
+            res = self._merge(lake, staged, batch_id=f"{node_type}-{seq}", seq=seq)
             m = metrics.setdefault(node_type, {"created": 0, "updated": 0})
             m["created"] += res["metrics"].get("rows_inserted", 0)
             m["updated"] += res["metrics"].get("rows_updated", 0)
@@ -132,31 +300,162 @@ class GraphLoader:
         conflicts_total = 0
         rels_created = 0
         for node_type, prep in prepared:
-            staged_edges, missing = self._resolve_edges(node_type, prep)
-            if staged_edges is None:
-                continue
+            resolved, missing = self._resolve_edges(node_type, prep)
             missing_total += missing
+            if resolved is None:
+                continue
             conflicts = one_to_one_conflicts(
-                staged_edges.select(
+                resolved.select(
                     F.col("child_uuid").alias("child_id"),
                     "rel_type",
                     F.col("parent_uuid").alias("parent_id"),
                 )
             ).count()
             conflicts_total += conflicts
-            seq = self._next_seq()
-            lake = self.edge_lake()
-            staged = staged_edges.withColumn("_seq", F.lit(seq)).withColumn(
-                "_op", F.lit("upsert")
-            )
-            res = merge_into(self.spark, lake, staged, batch_id=f"edges-{node_type}-{seq}")
-            rels_created += res["metrics"].get("rows_inserted", 0)
-        for _, prep in prepared:
-            prep.unpersist()
+            rels_created += self._stage_edges(resolved, node_type)
         metrics["relationships_created"] = rels_created
         metrics["missing_parents"] = missing_total
         metrics["one_to_one_conflicts"] = conflicts_total
+        metrics["duplicate_id_conflicts"] = dup_conflicts
+
+        # stage 3: NODE_LOADED derivation plugins (data_loader.py:1158-1161)
+        # — fired after the relationship barrier so derivations can read the
+        # edges this load created (IndividualCreator needs case links)
+        if self.registry is not None:
+            from ..plugins import EVENT_NODE_LOADED
+
+            plugin_metrics = {"nodes_created": 0, "relationships_created": 0}
+            for node_type, prep in prepared:
+                loaded = self.nodes(node_type)
+                derivations = self.registry.run(
+                    self.spark,
+                    EVENT_NODE_LOADED,
+                    node_type,
+                    loaded,
+                    context={"loader": self},
+                )
+                for plugin, derived in derivations:
+                    out = self._apply_derivation(node_type, derived)
+                    plugin.nodes_created = (
+                        getattr(plugin, "nodes_created", 0) + out["nodes_created"]
+                    )
+                    plugin.relationships_created = (
+                        getattr(plugin, "relationships_created", 0)
+                        + out["relationships_created"]
+                    )
+                    plugin_metrics["nodes_created"] += out["nodes_created"]
+                    plugin_metrics["relationships_created"] += out[
+                        "relationships_created"
+                    ]
+            metrics["plugin"] = plugin_metrics
+
+        for _, prep in prepared:
+            prep.unpersist()
         return metrics
+
+    def _apply_derivation(self, node_type: str, derived) -> dict:
+        """Merge a plugin derivation.  ``derived`` is either a DataFrame of
+        node rows for ``node_type`` (legacy shape) or a dict
+        {'nodes': {type: df}, 'edges': df(child_uuid, rel_type, parent_type,
+        parent_uuid[, rel_props])}."""
+        if isinstance(derived, DataFrame):
+            derived = {"nodes": {node_type: derived}}
+        out = {"nodes_created": 0, "relationships_created": 0}
+        for nt, df in (derived.get("nodes") or {}).items():
+            staged_nodes = self._with_sig(df)
+            lake = self.node_lake(nt, staged_nodes.schema)
+            self._evolve_for(lake, staged_nodes)
+            seq = self._next_seq()
+            staged = staged_nodes.withColumn("_seq", F.lit(seq)).withColumn(
+                "_op", F.lit("upsert")
+            )
+            res = self._merge(lake, staged, batch_id=f"plugin-{nt}-{seq}", seq=seq)
+            out["nodes_created"] += res["metrics"].get("rows_inserted", 0)
+        edges = derived.get("edges")
+        if edges is not None:
+            if "rel_props" not in edges.columns:
+                edges = edges.withColumn(
+                    "rel_props",
+                    F.lit(None).cast(T.MapType(T.StringType(), T.StringType())),
+                )
+            out["relationships_created"] += self._stage_edges(
+                edges.select(
+                    "child_uuid", "rel_type", "parent_type", "parent_uuid",
+                    "rel_props",
+                ),
+                "plugin",
+            )
+        return out
+
+    def _stage_edges(self, resolved: DataFrame, origin: str) -> int:
+        """J4+J5: multiplicity-aware edge upsert into the per-pair-keyed lake.
+
+        many_to_one / one_to_one rel types keep ONE parent per (child, rel):
+        the batch winner is the max parent_uuid (deterministic under any
+        partitioning; the reference's winner is file order, which a set
+        engine must replace with a total order), and every CURRENT live edge
+        of the same (child, rel) with a different parent is tombstoned —
+        the reference's remove_old_relationship (data_loader.py:1076-1085).
+        many_to_many keeps every pair (icdc_schema.py:236).
+        """
+        m2m_rels = sorted(
+            name
+            for name, rel in self.model.relationships.items()
+            if rel.multiplier == "many_to_many"
+            or any(e.multiplier == "many_to_many" for e in rel.ends)
+        )
+        is_m2m = F.col("rel_type").isin(m2m_rels) if m2m_rels else F.lit(False)
+
+        resolved = resolved.persist()
+        single = resolved.filter(~is_m2m)
+        multi = resolved.filter(is_m2m)
+
+        # batch-local winner per (child, rel) for single-parent rels
+        picked = (
+            single.groupBy("child_uuid", "rel_type")
+            .agg(
+                F.max_by(
+                    F.struct("parent_type", "parent_uuid", "rel_props"),
+                    # same parent twice with different rel props ties on
+                    # parent_uuid alone — break on the props json too
+                    F.struct(
+                        F.col("parent_uuid"),
+                        F.coalesce(F.to_json(F.col("rel_props")), F.lit("")),
+                    ),
+                ).alias("_w")
+            )
+            .select("child_uuid", "rel_type", "_w.*")
+        )
+        staged_edges = multi.select(
+            "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
+        ).unionByName(picked)
+
+        # re-parent tombstones: current live pairs displaced by the batch
+        lake = self.edge_lake()
+        current = read_state(self.spark, lake).select(
+            "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
+        )
+        displaced = (
+            current.join(
+                picked.select(
+                    "child_uuid", "rel_type",
+                    F.col("parent_uuid").alias("_new_parent"),
+                ),
+                ["child_uuid", "rel_type"],
+            )
+            .filter(F.col("parent_uuid") != F.col("_new_parent"))
+            .drop("_new_parent")
+        )
+
+        seq = self._next_seq()
+        upserts = self._with_sig(staged_edges).withColumn(
+            "_op", F.lit("upsert")
+        )
+        deletes = self._with_sig(displaced).withColumn("_op", F.lit("delete"))
+        staged = upserts.unionByName(deletes).withColumn("_seq", F.lit(seq))
+        res = self._merge(lake, staged, batch_id=f"edges-{origin}-{seq}", seq=seq)
+        resolved.unpersist()
+        return res["metrics"].get("rows_inserted", 0)
 
     def _resolve_edges(self, node_type: str, prep: DataFrame):
         """J2: parent pointers -> (child_uuid, rel, parent_uuid) via the
@@ -176,12 +475,18 @@ class GraphLoader:
                 ).count()
                 continue
             id_field = self.model.id_field(parent_type)
-            parents = self.nodes(parent_type).select(
-                F.col(id_field).cast("string").alias("parent_id"),
-                F.col("uuid").alias("parent_uuid"),
-            )
+
+            def parent_side():
+                return self._maybe_broadcast(
+                    self.nodes(parent_type).select(
+                        F.col(id_field).cast("string").alias("parent_id"),
+                        F.col("uuid").alias("parent_uuid"),
+                    ),
+                    self._parent_rows_estimate(parent_type),
+                )
+
             subset = raw_edges.filter(F.col("parent_type") == parent_type)
-            resolved = subset.join(F.broadcast(parents), "parent_id", "left")
+            resolved = subset.join(parent_side(), "parent_id", "left")
 
             # MISSING_PARENT plugin event (data_loader.py:988-1001): a
             # registered derivation stage may synthesize the missing parents
@@ -193,28 +498,26 @@ class GraphLoader:
                     "child_uuid", "parent_id"
                 )
                 derivations = self.registry.run(
-                    self.spark, EVENT_MISSING_PARENT, parent_type, missing_df
+                    self.spark,
+                    EVENT_MISSING_PARENT,
+                    parent_type,
+                    missing_df,
+                    context={"loader": self, "children": prep,
+                             "child_type": node_type},
                 )
+                applied = 0
                 for plugin, derived in derivations:
-                    lake = self.node_lake(parent_type, derived.schema)
-                    self._evolve_for(lake, derived)
-                    seq = self._next_seq()
-                    staged = derived.withColumn("_seq", F.lit(seq)).withColumn(
-                        "_op", F.lit("upsert")
+                    out = self._apply_derivation(parent_type, derived)
+                    plugin.nodes_created = (
+                        getattr(plugin, "nodes_created", 0) + out["nodes_created"]
                     )
-                    res = merge_into(
-                        self.spark, lake, staged,
-                        batch_id=f"plugin-{parent_type}-{seq}",
+                    plugin.relationships_created = (
+                        getattr(plugin, "relationships_created", 0)
+                        + out["relationships_created"]
                     )
-                    plugin.nodes_created = getattr(plugin, "nodes_created", 0) + res[
-                        "metrics"
-                    ].get("rows_inserted", 0)
-                if derivations:
-                    parents = self.nodes(parent_type).select(
-                        F.col(id_field).cast("string").alias("parent_id"),
-                        F.col("uuid").alias("parent_uuid"),
-                    )
-                    resolved = subset.join(F.broadcast(parents), "parent_id", "left")
+                    applied += 1
+                if applied:
+                    resolved = subset.join(parent_side(), "parent_id", "left")
 
             missing += resolved.filter(F.col("parent_uuid").isNull()).count()
             parts.append(
@@ -260,11 +563,15 @@ class GraphLoader:
                     doomed.withColumnRenamed("node_id", "uuid"), "uuid", "left_semi"
                 )
                 .select("uuid")
+                .withColumn("_sig", F.lit(""))
                 .withColumn("_seq", F.lit(seq))
                 .withColumn("_op", F.lit("delete"))
             )
             if not victims.isEmpty():
-                merge_into(self.spark, lake, victims, batch_id=f"del-{nt}-{seq}")
+                merge_into(
+                    self.spark, lake, victims, batch_id=f"del-{nt}-{seq}",
+                    tiebreakers=["_sig"],
+                )
 
         # drop edges touching doomed nodes
         edges_now = read_state(self.spark, self.edge_lake())
@@ -273,14 +580,19 @@ class GraphLoader:
         dead_edges = (
             edges_now.join(doomed_c, "child_uuid", "left_semi")
             .unionByName(edges_now.join(doomed_p, "parent_uuid", "left_semi"))
-            .select("child_uuid", "rel_type")
+            .select("child_uuid", "rel_type", "parent_uuid")
             .distinct()
         )
         n_rels = dead_edges.count()
         if n_rels:
-            staged = dead_edges.withColumn("_seq", F.lit(seq)).withColumn(
-                "_op", F.lit("delete")
+            staged = (
+                dead_edges.withColumn("_sig", F.lit(""))
+                .withColumn("_seq", F.lit(seq))
+                .withColumn("_op", F.lit("delete"))
             )
-            merge_into(self.spark, self.edge_lake(), staged, batch_id=f"del-edges-{seq}")
+            merge_into(
+                self.spark, self.edge_lake(), staged,
+                batch_id=f"del-edges-{seq}", tiebreakers=["_sig"],
+            )
         doomed.unpersist()
         return n_nodes, n_rels

@@ -221,10 +221,18 @@ class LakeTable:
                 md = pq.ParquetFile(full).metadata
                 stats = {}
                 try:
-                    sch = md.schema.to_arrow_schema()
-                    name_to_idx = {sch.field(i).name: i for i in range(len(sch.names))}
+                    # row-group column indexes address LEAF columns (maps /
+                    # structs flatten to several leaves) — resolve names via
+                    # path_in_schema, NOT the top-level arrow field index
+                    leaf_idx = {}
+                    if md.num_row_groups:
+                        rg0 = md.row_group(0)
+                        leaf_idx = {
+                            rg0.column(j).path_in_schema: j
+                            for j in range(rg0.num_columns)
+                        }
                     for kc in key_cols:
-                        ci = name_to_idx.get(kc)
+                        ci = leaf_idx.get(kc)
                         if ci is None:
                             continue
                         mins, maxs = [], []

@@ -1,0 +1,171 @@
+"""Round-2 GraphLoader fixes (ADVICE high/medium items):
+
+- many_to_many relationships keep one edge per (child, rel, parent) pair
+  (icdc_schema.py:236 / data_loader.py:687) instead of collapsing;
+- many_to_one re-parenting tombstones the displaced edge
+  (remove_old_relationship, data_loader.py:1076-1085);
+- duplicate node ids with conflicting properties are surfaced
+  (data_loader.py:660-692) and resolved deterministically;
+- loader state rehydrates from disk: a second process over the same root
+  resumes the seq and sees existing parents;
+- batch-id reuse fails loudly instead of silently no-opping.
+"""
+
+import pytest
+
+from icdc_dataloader_spark.model import Model, PropDef, RelDef, RelEnd
+from icdc_dataloader_spark.plans.graph_loader import GraphLoader
+from icdc_dataloader_spark.repos import load_repos_model
+
+
+def _write_tsv(path, header, rows):
+    with open(path, "w") as fh:
+        fh.write("\t".join(header) + "\n")
+        for r in rows:
+            fh.write("\t".join(r) + "\n")
+    return str(path)
+
+
+def tagged_model() -> Model:
+    return Model(
+        nodes={
+            "doc": {"doc_id": PropDef("doc_id", "String", required=True),
+                    "title": PropDef("title", "String")},
+            "tag": {"tag_id": PropDef("tag_id", "String", required=True)},
+        },
+        relationships={
+            "tagged": RelDef(
+                "tagged", "many_to_many", [RelEnd("doc", "tag", "many_to_many")]
+            )
+        },
+        domain="repos.example.org",
+        id_fields={"doc": "doc_id", "tag": "tag_id"},
+    )
+
+
+def test_many_to_many_keeps_all_parent_edges(spark, tmp_path):
+    tags = _write_tsv(
+        tmp_path / "tags.txt", ["type", "tag_id"],
+        [["tag", "t1"], ["tag", "t2"], ["tag", "t3"]],
+    )
+    docs = _write_tsv(
+        tmp_path / "docs.txt",
+        ["type", "doc_id", "title", "tag.tag_id"],
+        [["doc", "d1", "Doc One", "t1|t2"], ["doc", "d2", "Doc Two", "t2"]],
+    )
+    gl = GraphLoader(spark, str(tmp_path / "g"), tagged_model())
+    m = gl.load_files([("tag", tags), ("doc", docs)])
+    assert m["relationships_created"] == 3  # d1->{t1,t2}, d2->t2 all survive
+    edges = gl.edges().collect()
+    d1_parents = {
+        e["parent_uuid"] for e in edges if e["rel_type"] == "tagged"
+        and e["child_uuid"]
+        in {r["uuid"] for r in gl.nodes("doc").filter("doc_id='d1'").collect()}
+    }
+    assert len(d1_parents) == 2
+
+
+def test_many_to_one_reparent_tombstones_old_edge(spark, tmp_path):
+    model = load_repos_model()
+    owners = _write_tsv(
+        tmp_path / "o.txt", ["type", "owner_id", "owner_name"],
+        [["repo_owner", "o1", "Alice"], ["repo_owner", "o2", "Bob"]],
+    )
+    f1 = _write_tsv(
+        tmp_path / "f1.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:a", "r1", "a", "c1", "python", "o1"]],
+    )
+    f2 = _write_tsv(
+        tmp_path / "f2.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:a", "r1", "a", "c2", "python", "o2"]],
+    )
+    gl = GraphLoader(spark, str(tmp_path / "g"), model)
+    gl.load_files([("repo_owner", owners), ("repo_file", f1)])
+    gl.load_files([("repo_file", f2)])
+    edges = gl.edges().collect()
+    assert len(edges) == 1  # old o1 edge tombstoned, not accumulated
+    o2_uuid = gl.nodes("repo_owner").filter("owner_id='o2'").collect()[0]["uuid"]
+    assert edges[0]["parent_uuid"] == o2_uuid
+
+
+def test_duplicate_id_conflicts_surfaced_and_deterministic(spark, tmp_path):
+    model = load_repos_model()
+    files = _write_tsv(
+        tmp_path / "f.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang"],
+        [
+            ["repo_file", "r1:a", "r1", "a", "c1", "python"],
+            ["repo_file", "r1:a", "r1", "a", "c2", "go"],      # conflicting dup
+            ["repo_file", "r2:b", "r2", "b", "c3", "rust"],
+            ["repo_file", "r2:b", "r2", "b", "c3", "rust"],    # benign dup
+        ],
+    )
+    gl = GraphLoader(spark, str(tmp_path / "g"), model)
+    m = gl.load_files([("repo_file", files)])
+    assert m["duplicate_id_conflicts"] == 1  # only the conflicting id
+    rows = {r["file_key"]: r for r in gl.nodes("repo_file").collect()}
+    assert set(rows) == {"r1:a", "r2:b"}
+    # deterministic winner: same content signature wins on every replay
+    gl2 = GraphLoader(spark, str(tmp_path / "g2"), model)
+    gl2.load_files([("repo_file", files)])
+    rows2 = {r["file_key"]: r for r in gl2.nodes("repo_file").collect()}
+    assert rows["r1:a"]["lang"] == rows2["r1:a"]["lang"]
+
+
+def test_rehydration_resumes_existing_root(spark, tmp_path):
+    model = load_repos_model()
+    owners = _write_tsv(
+        tmp_path / "o.txt", ["type", "owner_id", "owner_name"],
+        [["repo_owner", "o1", "Alice"]],
+    )
+    f1 = _write_tsv(
+        tmp_path / "f1.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:a", "r1", "a", "c1", "python", "o1"]],
+    )
+    gl1 = GraphLoader(spark, str(tmp_path / "g"), model)
+    gl1.load_files([("repo_owner", owners), ("repo_file", f1)])
+    seq_after = gl1._seq
+
+    # fresh instance over the same root: must see the lakes AND resume seq
+    gl2 = GraphLoader(spark, str(tmp_path / "g"), model)
+    assert set(gl2._node_lakes) == {"repo_owner", "repo_file"}
+    assert gl2._seq >= seq_after
+
+    f2 = _write_tsv(
+        tmp_path / "f2.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:b", "r1", "b", "c9", "go", "o1"]],
+    )
+    m = gl2.load_files([("repo_file", f2)])
+    assert m["repo_file"]["created"] == 1
+    assert m["missing_parents"] == 0      # existing o1 visible to resolver
+    assert gl2.nodes("repo_file").count() == 2
+    assert gl2.edges().count() == 2
+
+    # a new load's rows must WIN LWW over old state (seq resumed past them)
+    f1b = _write_tsv(
+        tmp_path / "f1b.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:a", "r1", "a", "cNEW", "python", "o1"]],
+    )
+    gl3 = GraphLoader(spark, str(tmp_path / "g"), model)
+    gl3.load_files([("repo_file", f1b)])
+    got = gl3.nodes("repo_file").filter("file_key='r1:a'").collect()[0]
+    assert got["commit"] == "cNEW"
+
+
+def test_batch_id_reuse_fails_loudly(spark, tmp_path):
+    model = load_repos_model()
+    f1 = _write_tsv(
+        tmp_path / "f1.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang"],
+        [["repo_file", "r1:a", "r1", "a", "c1", "python"]],
+    )
+    gl = GraphLoader(spark, str(tmp_path / "g"), model)
+    gl.load_files([("repo_file", f1)])
+    gl._seq = 0  # simulate corrupted/stale seq state
+    with pytest.raises(RuntimeError, match="not ahead|already committed"):
+        gl.load_files([("repo_file", f1)])
