@@ -60,13 +60,16 @@ def main():
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         events_path = os.path.join(workdir, "events")
+        # binlog partitioned by batch: the tail loop's per-batch filter
+        # prunes to ONE partition dir instead of rescanning the whole
+        # binlog per batch (asserted in tests/test_plans.py)
         gen_events_spark(
             spark,
             n_cdc_events,
             n_repos=max(1000, n_cdc_events // 100),
             n_batches=4,
             zipf_k=3.0,
-        ).write.mode("overwrite").parquet(events_path)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(events_path)
         # merge-on-read with in-loop compaction: the sustained-ingest path
         pipe = make_pipeline(
             spark,

@@ -46,9 +46,10 @@ def generate_events(workdir: str, n_events: int) -> str:
 
     spark = get_spark("gen", parallelism=32)
     out = os.path.join(workdir, "events")
+    # partitioned by batch so each micro-batch reads one partition dir
     gen_events_spark(
         spark, n_events, n_repos=max(1000, n_events // 100), n_batches=4, zipf_k=3.0
-    ).write.mode("overwrite").parquet(out)
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(out)
     spark.stop()
     return out
 

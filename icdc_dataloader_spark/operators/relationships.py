@@ -33,13 +33,19 @@ def resolve_parents(
     rel_type: str,
     child_id_col: str,
     delimiter: str = "|",
-    broadcast_parents: bool = True,
+    broadcast_parents: bool | None = None,
 ) -> dict:
     """J2: explode multi-valued parent pointers, resolve against parents.
 
     Returns {'edges': DataFrame(child_id, rel_type, parent_id),
              'missing': DataFrame(child_id, parent_id)} — missing parents
     are the MISSING_PARENT plugin event feed (data_loader.py:988-1001).
+
+    ``broadcast_parents``: None (default) leaves the join strategy to
+    Catalyst/AQE — at 100x scale the parent table may not fit in driver
+    memory, so an unconditional hint would OOM instead of degrading to a
+    shuffle join.  Pass True only when the caller KNOWS the side is
+    dimension-sized (GraphLoader gates this on manifest row counts).
     """
     exploded = (
         child_df.filter(
@@ -152,7 +158,14 @@ def interval_join_visits_to_cycles(
         (F.col("_vdate") >= lower) & (F.col("_vdate") <= F.col("_end"))
         | F.col("cycle_id").isNull()
     )
-    pick = Window.partitionBy("_case", "_vdate").orderBy(
+    # one cycle per VISIT ROW: the pick window carries the visit's full
+    # identity (every visit column), so two distinct visits sharing a
+    # (case, date) each keep their own match — partitioning on
+    # (case, date) alone silently dropped one of them (the reference
+    # assigns per visit node, visit_creator.py:99-173).  Exact full-row
+    # duplicates still collapse to one row, documented.
+    v_cols = [f.name for f in v.schema.fields]
+    pick = Window.partitionBy(*v_cols).orderBy(
         F.col("_start").asc_nulls_last(), F.col("cycle_id").asc_nulls_last()
     )
     out = (
@@ -160,10 +173,11 @@ def interval_join_visits_to_cycles(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_is_first", "_start", "_end")
     )
-    # visits whose case had cycles but none matched: re-attach as unmatched
-    matched_keys = out.select("_case", "_vdate").distinct()
+    # visits whose case had cycles but none matched: re-attach as unmatched,
+    # keyed by the same full visit identity
+    matched_keys = out.select(*v_cols).distinct()
     unmatched = (
-        v.join(matched_keys, ["_case", "_vdate"], "left_anti")
+        v.join(matched_keys, v_cols, "left_anti")
         .withColumn("cycle_id", F.lit(None).cast(c.schema["cycle_id"].dataType))
     )
     return out.unionByName(unmatched, allowMissingColumns=True).withColumnsRenamed(

@@ -469,11 +469,6 @@ class GraphLoader:
         for parent_type in [
             r["parent_type"] for r in raw_edges.select("parent_type").distinct().collect()
         ]:
-            if parent_type not in self._node_lakes:
-                missing += raw_edges.filter(
-                    F.col("parent_type") == parent_type
-                ).count()
-                continue
             id_field = self.model.id_field(parent_type)
 
             def parent_side():
@@ -486,7 +481,15 @@ class GraphLoader:
                 )
 
             subset = raw_edges.filter(F.col("parent_type") == parent_type)
-            resolved = subset.join(parent_side(), "parent_id", "left")
+            if parent_type in self._node_lakes:
+                resolved = subset.join(parent_side(), "parent_id", "left")
+            else:
+                # no table for this parent type yet: every pointer is
+                # missing — a MISSING_PARENT plugin may still synthesize
+                # the whole type (the reference's VisitCreator case)
+                resolved = subset.withColumn(
+                    "parent_uuid", F.lit(None).cast("string")
+                )
 
             # MISSING_PARENT plugin event (data_loader.py:988-1001): a
             # registered derivation stage may synthesize the missing parents
@@ -516,7 +519,7 @@ class GraphLoader:
                         + out["relationships_created"]
                     )
                     applied += 1
-                if applied:
+                if applied and parent_type in self._node_lakes:
                     resolved = subset.join(parent_side(), "parent_id", "left")
 
             missing += resolved.filter(F.col("parent_uuid").isNull()).count()

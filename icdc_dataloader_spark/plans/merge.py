@@ -80,15 +80,31 @@ def resolve(
     df = lake.read(spark, version=version, buckets=buckets)
     if not lake.delta_files(version):
         return df
+    from pyspark.sql.window import Window
+
     key_cols = lake.key_cols()
     order = _lww_order("_seq", lake.tiebreakers())
     payload = F.struct(*[f.name for f in lake.schema(version).fields])
+    # created lineage must RESET across a delete->recreate: only rows at or
+    # after the key's latest tombstone count toward _first_seq (the COW path
+    # gets this for free because the tombstone physically replaces the old
+    # row; computing min over ALL non-delete rows here resurrected the
+    # pre-delete lineage).  The window shares the aggregation's hash
+    # partitioning, so no extra shuffle.
+    w = Window.partitionBy(*key_cols)
+    df = df.withColumn(
+        "_del_max",
+        F.max(F.when(F.col("_op") == OP_DELETE, F.col("_seq"))).over(w),
+    )
+    alive_after_delete = (F.col("_op") != OP_DELETE) & (
+        F.col("_del_max").isNull() | (F.col("_seq") > F.col("_del_max"))
+    )
     return (
         df.groupBy(*key_cols)
         .agg(
             F.max_by(payload, order).alias("_w"),
             F.min(
-                F.when(F.col("_op") != OP_DELETE, F.col("_created_seq"))
+                F.when(alive_after_delete, F.col("_created_seq"))
             ).alias("_first_seq"),
         )
         .select("_w.*", "_first_seq")

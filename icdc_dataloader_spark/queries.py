@@ -700,6 +700,41 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+def multi_case_individuals(spark, sf_dir):
+    """J7+W8 (individual_creator.py:38-93) over TPC-H shapes: a 'clerk' is
+    the registration, its distinct customers are the cases.  Clerks spanning
+    more than one case get an 'individual' whose id is allocated
+    max+row_number formatted '0000' (the reference's
+    ``apoc.number.format(max(toInteger(id))+1, '0000')``) via the same
+    allocate_sequence_ids operator GraphLoader's IndividualCreator uses."""
+    from .plans.graph_loader import allocate_sequence_ids
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    multi = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("c_custkey").alias("n_cases"))
+        .filter(F.col("n_cases") > 1)
+    )
+    out = allocate_sequence_ids(
+        multi, existing_max=0, id_col="individual_id", order_col="n_name"
+    )
+    return out.select(
+        F.col("n_name").alias("registration"), "n_cases", "individual_id"
+    ).orderBy("registration")
+
+
+MULTI_CASE_SQL = """
+SELECT n_name AS registration, n_cases,
+       printf('%04d', ROW_NUMBER() OVER (ORDER BY n_name)) AS individual_id
+FROM (SELECT n_name, COUNT(DISTINCT c_custkey) AS n_cases
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name HAVING COUNT(DISTINCT c_custkey) > 1)
+ORDER BY registration
+"""
+
+
 # --- hash-based operator queries (portable-hash mode, full DuckDB oracle
 # replicas — see hash_queries.py; round 1 shipped these as rows-only) -------
 
@@ -735,6 +770,7 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "ann_cosine_topk": ann_cosine_topk,
+    "multi_case_individuals": multi_case_individuals,
     **HASH_QUERIES,
 }
 
@@ -763,6 +799,7 @@ ORACLES = {
     "lang_id_heuristic": LANG_SQL,
     "ngram_jaccard_docs": NGRAM_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "multi_case_individuals": MULTI_CASE_SQL,
     **HASH_ORACLES,
 }
 

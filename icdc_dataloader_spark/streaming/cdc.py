@@ -60,6 +60,7 @@ class CDCPipeline:
         pre_dedup: bool = False,
         strategy: str = "cow",
         compact_every: int = 8,
+        retry_ttl: int = 3,
     ):
         """``strategy``:
 
@@ -93,6 +94,7 @@ class CDCPipeline:
             raise ValueError(f"unknown strategy: {strategy}")
         self.strategy = strategy
         self.compact_every = compact_every
+        self.retry_ttl = retry_ttl
         self._batches_since_compact = 0
 
     # -- single batch ---------------------------------------------------------
@@ -250,6 +252,38 @@ class CDCPipeline:
 
     # -- full tail loop ---------------------------------------------------------
 
+    @staticmethod
+    def _list_batch_ids(events: DataFrame, batch_col: str) -> list:
+        """Pending batch ids, WITHOUT scanning the binlog when avoidable.
+
+        A batch-partitioned binlog encodes the ids in its directory layout —
+        read them from the file listing (driver-side metadata, no job).
+        This (a) removes a full-binlog scan per drain and (b) keeps the
+        listing alive when one batch contains a corrupt file: the poisoned
+        batch then fails in apply and is parked by the retry-TTL instead of
+        killing the whole drain.  Non-partitioned sources fall back to a
+        distinct scan.
+        """
+        import re as _re
+
+        try:
+            seen = set()
+            for f in events.inputFiles():
+                m = _re.search(rf"/{_re.escape(batch_col)}=([^/]+)/", f)
+                if m:
+                    seen.add(m.group(1))
+            if seen:
+                return sorted(
+                    seen,
+                    key=lambda v: (0, int(v)) if v.lstrip("-").isdigit() else (1, v),
+                )
+        except Exception:
+            pass
+        return [
+            r[0]
+            for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+
     def run(
         self,
         events: DataFrame,
@@ -260,18 +294,41 @@ class CDCPipeline:
 
         ``events`` is the full binlog table; each distinct ``batch_col``
         value is one micro-batch.  Already-committed batches are no-ops.
+
+        Scale note: write the binlog PARTITIONED BY the batch column
+        (``events.write.partitionBy(batch_col)``) — the per-batch filter
+        then prunes to one partition directory instead of rescanning the
+        whole binlog per batch (asserted in tests/test_plans.py).
+
+        Poisoned batches (§2.9 retry-with-TTL, file_copier.py:324-330
+        analogue): a batch that keeps failing is retried ``retry_ttl``
+        times — the count persists in the ledger across crash/resume —
+        then PARKED so it never blocks the drain; parked ids are returned
+        under 'quarantined'.
         """
-        batch_ids = [
-            r[0]
-            for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
-        ]
+        batch_ids = self._list_batch_ids(events, batch_col)
         committed = self.lake.committed_batch_ids()
         applied = []
+        quarantined = []
         for bid in batch_ids:
             if max_batches is not None and len(applied) >= max_batches:
                 break
             if str(bid) in committed:
                 continue
+            if self.ledger.is_quarantined(bid):
+                quarantined.append(str(bid))
+                continue
             batch = events.filter(F.col(batch_col) == bid).drop(batch_col)
-            applied.append(self.apply_batch(batch, bid))
-        return {"applied": applied, "totals": self.ledger.totals()}
+            while True:
+                try:
+                    applied.append(self.apply_batch(batch, bid))
+                    break
+                except Exception as e:  # noqa: BLE001 — parked, not hidden
+                    if self.ledger.record_failure(bid, repr(e), self.retry_ttl):
+                        quarantined.append(str(bid))
+                        break
+        return {
+            "applied": applied,
+            "quarantined": quarantined,
+            "totals": self.ledger.totals(),
+        }

@@ -30,9 +30,19 @@ class CheckpointLedger:
 
     def _load(self) -> dict:
         if not os.path.exists(self.path):
-            return {"applied": [], "batches": {}, "totals": {}}
+            return {"applied": [], "batches": {}, "totals": {}, "failures": {}}
         with open(self.path) as fh:
-            return json.load(fh)
+            state = json.load(fh)
+        state.setdefault("failures", {})
+        return state
+
+    def _save(self, state: dict) -> None:
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self.path)
 
     def applied(self) -> list[str]:
         return list(self._load()["applied"])
@@ -62,12 +72,33 @@ class CheckpointLedger:
         for k, v in (metrics or {}).items():
             if isinstance(v, (int, float)):
                 state["totals"][k] = state["totals"].get(k, 0) + v
-        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, self.path)
+        # a successful apply clears any failure history for the batch
+        state["failures"].pop(bid, None)
+        self._save(state)
+
+    # -- retry-with-TTL (§2.9; reference file_copier.py:324-330 analogue:
+    # a message re-delivered past its retry budget is parked, not re-run) --
+
+    def record_failure(self, batch_id, error: str, retry_ttl: int) -> bool:
+        """Count one failed attempt; returns True once the batch is
+        quarantined (attempts >= retry_ttl).  Persisted, so retries survive
+        crash/resume."""
+        state = self._load()
+        rec = state["failures"].setdefault(
+            str(batch_id), {"retries": 0, "errors": [], "quarantined": False}
+        )
+        rec["retries"] += 1
+        rec["errors"] = (rec["errors"] + [str(error)[:500]])[-5:]
+        rec["quarantined"] = rec["retries"] >= retry_ttl
+        self._save(state)
+        return rec["quarantined"]
+
+    def is_quarantined(self, batch_id) -> bool:
+        rec = self._load()["failures"].get(str(batch_id))
+        return bool(rec and rec.get("quarantined"))
+
+    def failures(self) -> dict:
+        return dict(self._load()["failures"])
 
     def low_water(self) -> dict:
         """Per-bucket max applied seq — the resume watermark analogue."""
@@ -75,7 +106,13 @@ class CheckpointLedger:
         lw: dict = {}
         for rec in state["batches"].values():
             for bucket, info in (rec.get("lineage") or {}).items():
+                ms = info.get("max_seq")
+                if ms is None:
+                    # lineage recorded without footer stats (write_data_files
+                    # swallows stat failures) — skip, don't poison the
+                    # watermark with a None comparison
+                    continue
                 cur = lw.get(bucket)
-                if cur is None or info.get("max_seq", 0) > cur:
-                    lw[bucket] = info.get("max_seq", 0)
+                if cur is None or ms > cur:
+                    lw[bucket] = ms
         return lw

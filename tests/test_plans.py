@@ -63,6 +63,62 @@ def test_anti_join_stays_join(spark):
     assert "LeftAnti" in plan or "AntiJoin" in plan.replace(" ", "")
 
 
+def test_batch_filter_prunes_binlog_partitions(spark, tmp_path):
+    """CDC tail: the binlog is written partitioned by batch; the per-batch
+    filter must reach the scan as a PARTITION filter (one dir read per
+    batch), not a post-scan predicate over the whole binlog."""
+    from icdc_dataloader_spark.sources.gen import gen_events_spark
+
+    path = str(tmp_path / "binlog")
+    gen_events_spark(spark, 2000, n_repos=20, n_batches=4).write.partitionBy(
+        "batch_id"
+    ).parquet(path)
+    events = spark.read.parquet(path)
+    one = events.filter(F.col("batch_id") == 2)
+    plan = _plan(one)
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "batch_id" in seg, "batch filter must prune partitions at the scan"
+    assert one.count() > 0  # and it still reads the right rows
+
+
+def test_parent_broadcast_is_size_gated(spark):
+    """resolve_parents must not force-broadcast by default (AQE decides);
+    GraphLoader gates the hint on manifest row counts."""
+    from icdc_dataloader_spark.operators.relationships import resolve_parents
+    from icdc_dataloader_spark.plans.graph_loader import (
+        BROADCAST_ROW_LIMIT, GraphLoader,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "ck", F.col("o_custkey").cast("string")
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").withColumn(
+        "ck", F.col("c_custkey").cast("string")
+    )
+    res = resolve_parents(
+        orders, cust, pointer_col="ck", parent_key="ck",
+        rel_type="placed_by", child_id_col="o_orderkey",
+    )
+    logical = res["edges"]._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, (
+        "default resolve_parents must not force a broadcast hint"
+    )
+    res_hinted = resolve_parents(
+        orders, cust, pointer_col="ck", parent_key="ck",
+        rel_type="placed_by", child_id_col="o_orderkey",
+        broadcast_parents=True,
+    )
+    logical2 = res_hinted["edges"]._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in logical2
+
+    # the GraphLoader gate: small manifest row count -> hint; huge -> none
+    gl = GraphLoader.__new__(GraphLoader)  # gate is stateless
+    small = gl._maybe_broadcast(cust, est_rows=10)
+    big = gl._maybe_broadcast(cust, est_rows=BROADCAST_ROW_LIMIT + 1)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+
+
 def test_no_python_udf_in_hot_path(spark):
     """Coercion/validation/hash queries stay JVM-side: no BatchEvalPython
     (row-at-a-time Python) anywhere; Arrow eval allowed only where declared."""
