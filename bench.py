@@ -56,6 +56,15 @@ def main():
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # the driver-checked minhash query runs in portable-hash (md5) mode so
+    # DuckDB can replicate it; the 100 TB path is xxhash64 — time it too
+    from icdc_dataloader_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_dedup(docs, jaccard_threshold=0.3, hash_mode="xxhash64").collect()
+    timings["minhash_near_dups_xx64"] = round(time.time() - t0, 3)
+
     # end-to-end CDC pipeline: generate once, then time the tail loop
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
