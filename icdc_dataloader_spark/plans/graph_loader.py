@@ -168,6 +168,10 @@ class GraphLoader:
                 key_cols=["child_uuid", "rel_type", "parent_uuid"],
                 n_buckets=4,
                 tiebreakers=["_sig"],
+                # bucket by child only: every edge of a child co-locates, so
+                # the re-parent lookup by (child, rel) bucket-prunes instead
+                # of scanning the edge table
+                bucket_cols=["child_uuid"],
             )
         return self._edge_lake
 
@@ -430,10 +434,28 @@ class GraphLoader:
             "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
         ).unionByName(picked)
 
-        # re-parent tombstones: current live pairs displaced by the batch
+        # re-parent tombstones: current live pairs displaced by the batch.
+        # The edge lake is bucketed by child_uuid, so read ONLY the buckets
+        # the picked children hash into — per-batch work stays proportional
+        # to the batch, not the edge table.
         lake = self.edge_lake()
-        current = read_state(self.spark, lake).select(
-            "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
+        from .lake import bucket_expr
+        from .merge import OP_DELETE, resolve
+
+        touched = sorted(
+            r["_b"]
+            for r in picked.select(
+                bucket_expr(["child_uuid"], lake.n_buckets()).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        current = (
+            resolve(self.spark, lake, buckets=touched)
+            .filter(F.col("_op") != OP_DELETE)
+            .select(
+                "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
+            )
         )
         displaced = (
             current.join(

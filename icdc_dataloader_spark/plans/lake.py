@@ -66,7 +66,15 @@ class LakeTable:
         key_cols: list[str],
         n_buckets: int = 16,
         tiebreakers: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
+        """``bucket_cols`` (default = key_cols): the hash-bucketing columns.
+        A PREFIX/subset of the key lets point lookups on those columns
+        bucket-prune — e.g. an edge table keyed (child, rel, parent) but
+        bucketed by child co-locates every edge of a child, so re-parent
+        lookups by (child, rel) read one bucket instead of the table."""
+        if bucket_cols is not None and not set(bucket_cols) <= set(key_cols):
+            raise ValueError("bucket_cols must be a subset of key_cols")
         t = cls(root)
         os.makedirs(t.log_dir, exist_ok=True)
         if t.latest_version() is not None:
@@ -79,6 +87,7 @@ class LakeTable:
                 "operation": "create",
                 "schema": schema.json(),
                 "key_cols": list(key_cols),
+                "bucket_cols": list(bucket_cols or key_cols),
                 "tiebreakers": list(tiebreakers or []),
                 "n_buckets": n_buckets,
                 "files": [],
@@ -128,6 +137,10 @@ class LakeTable:
 
     def n_buckets(self) -> int:
         return self.snapshot()["n_buckets"]
+
+    def bucket_cols(self) -> list[str]:
+        snap = self.snapshot()
+        return snap.get("bucket_cols") or snap["key_cols"]
 
     def tiebreakers(self) -> list[str]:
         return self.snapshot().get("tiebreakers", [])

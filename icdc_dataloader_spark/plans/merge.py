@@ -152,7 +152,7 @@ def merge_into(
     schema = lake.schema()
     tiebreakers = tiebreakers or []
 
-    batch = batch_df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
+    batch = batch_df.withColumn("_bucket", bucket_expr(lake.bucket_cols(), n_buckets))
     batch = batch.withColumn("_created_seq", F.col(seq_col)).withColumn(
         "_updated_seq", F.col(seq_col)
     )
@@ -331,7 +331,7 @@ def append_delta(
     schema = lake.schema()
     tiebreakers = tiebreakers or lake.tiebreakers()
 
-    batch = batch_df.withColumn("_bucket", bucket_expr(key_cols, n_buckets))
+    batch = batch_df.withColumn("_bucket", bucket_expr(lake.bucket_cols(), n_buckets))
     batch = batch.withColumn("_created_seq", F.col(seq_col)).withColumn(
         "_updated_seq", F.col(seq_col)
     )

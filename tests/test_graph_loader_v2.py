@@ -88,6 +88,10 @@ def test_many_to_one_reparent_tombstones_old_edge(spark, tmp_path):
     assert len(edges) == 1  # old o1 edge tombstoned, not accumulated
     o2_uuid = gl.nodes("repo_owner").filter("owner_id='o2'").collect()[0]["uuid"]
     assert edges[0]["parent_uuid"] == o2_uuid
+    # the edge lake is keyed per pair but bucketed by child, so re-parent
+    # lookups bucket-prune (scale property, not just correctness)
+    assert gl.edge_lake().key_cols() == ["child_uuid", "rel_type", "parent_uuid"]
+    assert gl.edge_lake().bucket_cols() == ["child_uuid"]
 
 
 def test_duplicate_id_conflicts_surfaced_and_deterministic(spark, tmp_path):
