@@ -72,6 +72,9 @@ def main():
         wpipe.run(warm)
         shutil.rmtree(args.out + "_warmup", ignore_errors=True)
 
+    from icdc_dataloader_spark import timers
+
+    timers.reset()
     t0 = time.time()
     pipe.run(events)
     elapsed = time.time() - t0
@@ -82,6 +85,7 @@ def main():
                 "n_events": n_events,
                 "elapsed_sec": round(elapsed, 3),
                 "events_per_sec": round(n_events / elapsed, 1),
+                "phases": timers.snapshot(),
             }
         )
     )

@@ -212,15 +212,18 @@ class LakeTable:
         per-file stats (key columns plus _seq/_op) from the Parquet footers —
         lineage and NEW-op detection come from footers, not extra Spark jobs.
         """
+        from .. import timers
+
         rel_dir = f"data/{dirname or f'v{version}'}"
         out_dir = os.path.join(self.root, rel_dir)
         key_cols = list(self.key_cols()) + ["_seq", "_op"]
-        (
-            df.withColumn("_pb", F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_pb")
-            .parquet(out_dir)
-        )
+        with timers.phase("write.job"):
+            (
+                df.withColumn("_pb", F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(out_dir)
+            )
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
@@ -278,11 +281,12 @@ class LakeTable:
         # driver-side commit cost is ~#files/32, not #files (the round-1
         # serial walk was the Amdahl term blocking scaling efficiency; a
         # real deployment would take these stats from the write committer)
-        if len(targets) > 4:
-            with ThreadPoolExecutor(max_workers=32) as pool:
-                entries = list(pool.map(footer_entry, targets))
-        else:
-            entries = [footer_entry(t) for t in targets]
+        with timers.phase("write.footers"):
+            if len(targets) > 4:
+                with ThreadPoolExecutor(max_workers=32) as pool:
+                    entries = list(pool.map(footer_entry, targets))
+            else:
+                entries = [footer_entry(t) for t in targets]
         return entries
 
     def commit(
@@ -295,6 +299,22 @@ class LakeTable:
         schema: T.StructType | None = None,
     ) -> int:
         """Commit a new snapshot. Idempotent per batch_id."""
+        from .. import timers
+
+        with timers.phase("commit.snapshot"):
+            return self._commit_inner(
+                new_files, carried_files, operation, batch_id, metrics, schema
+            )
+
+    def _commit_inner(
+        self,
+        new_files: list[dict],
+        carried_files: list[dict],
+        operation: str,
+        batch_id=None,
+        metrics: dict | None = None,
+        schema: T.StructType | None = None,
+    ) -> int:
         prev = self.snapshot()
         if batch_id is not None and str(batch_id) in set(prev["committed_batch_ids"]):
             return prev["version"]  # already applied: no-op
@@ -310,6 +330,7 @@ class LakeTable:
                 "operation": operation,
                 "schema": (schema or self.schema()).json(),
                 "key_cols": prev["key_cols"],
+                "bucket_cols": prev.get("bucket_cols") or prev["key_cols"],
                 "tiebreakers": prev.get("tiebreakers", []),
                 "n_buckets": prev["n_buckets"],
                 "files": carried_files + new_files,

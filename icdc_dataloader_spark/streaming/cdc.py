@@ -179,6 +179,8 @@ class CDCPipeline:
         if self.error_dir:
             merge_out = os.path.join(self.error_dir, f"batch={bid}-merge")
             merge_err_sink = lambda df: df.write.mode("overwrite").parquet(merge_out)
+        from .. import timers
+
         if self.strategy == "mor":
             # single-job fast path: append_delta's write fills the
             # quarantine observation; lineage comes from parquet footers
@@ -194,7 +196,8 @@ class CDCPipeline:
             lineage = res.get("lineage") or {}
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
-                compact(self.spark, self.lake)
+                with timers.phase("compact"):
+                    compact(self.spark, self.lake)
                 self._batches_since_compact = 0
         else:
             res = merge_into(
@@ -242,7 +245,8 @@ class CDCPipeline:
 
         metrics = dict(res["metrics"])
         metrics["rows_quarantined"] = n_errors
-        self.ledger.record(bid, res["version"], metrics, lineage)
+        with timers.phase("ledger.record"):
+            self.ledger.record(bid, res["version"], metrics, lineage)
         return {
             "batch_id": bid,
             "noop": False,
@@ -318,10 +322,13 @@ class CDCPipeline:
             if self.ledger.is_quarantined(bid):
                 quarantined.append(str(bid))
                 continue
+            from .. import timers
+
             batch = events.filter(F.col(batch_col) == bid).drop(batch_col)
             while True:
                 try:
-                    applied.append(self.apply_batch(batch, bid))
+                    with timers.phase("batch.total"):
+                        applied.append(self.apply_batch(batch, bid))
                     break
                 except Exception as e:  # noqa: BLE001 — parked, not hidden
                     if self.ledger.record_failure(bid, repr(e), self.retry_ttl):
