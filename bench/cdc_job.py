@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--strategy", default="mor")
     ap.add_argument("--compact-every", type=int, default=2)
     ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--colocate", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +50,7 @@ def main():
         n_buckets=args.buckets,
         strategy=args.strategy,
         compact_every=args.compact_every,
+        colocate_deltas=bool(args.colocate),
     )
     events = spark.read.parquet(args.events)
     n_events = events.count()

@@ -54,7 +54,7 @@ def generate_events(workdir: str, n_events: int) -> str:
     return out
 
 
-def run_level(cpus: int, events: str, workdir: str, zpath: str, compact_every: int = 4) -> dict:
+def run_level(cpus: int, events: str, workdir: str, zpath: str, compact_every: int = 4, extra: list | None = None) -> dict:
     out = os.path.join(workdir, f"run_local{cpus}")
     cmd = [
         "spark-submit",
@@ -69,6 +69,9 @@ def run_level(cpus: int, events: str, workdir: str, zpath: str, compact_every: i
         # advisory coalescing collapses both runs to the same task count
         "--conf", "spark.sql.adaptive.coalescePartitions.parallelismFirst=true",
         "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
+        # zstd data files: half the bytes of snappy on this payload — the
+        # write becomes CPU-bound (scales with cores) instead of IO-bound
+        "--conf", "spark.sql.parquet.compression.codec=zstd",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zpath,
@@ -77,7 +80,7 @@ def run_level(cpus: int, events: str, workdir: str, zpath: str, compact_every: i
         "--out", out,
         "--cpus", str(cpus),
         "--compact-every", str(compact_every),
-    ]
+    ] + list(extra or [])
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)

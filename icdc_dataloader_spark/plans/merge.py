@@ -76,11 +76,24 @@ def resolve(
     COW snapshots (no delta files) are returned as-is — zero overhead.
     With deltas, one per-key LWW aggregation over base ∪ deltas (same total
     order as the write path; tiebreakers from table metadata).
+
+    Plan shape (scale-critical — this runs over the whole table at compact
+    and over touched buckets at every MoR read).  The delete→recreate
+    lineage reset needs the per-key tombstone watermark.  A window over the
+    full payload forces a SORT of EVERY row in one reduce-side pass whose
+    chunk size grows with (rows / shuffle partitions) — at low parallelism
+    that spilled to disk (measured: 119s of a 177s local[2] compact).
+    Instead the watermark comes from a column-pruned tombstone-only
+    aggregate (reads 3 columns of delete rows only) joined back — AQE
+    broadcasts it when small — and the winner comes from a partial-agg
+    max_by whose map-side sort is bounded by the input SPLIT size
+    (~128MB), independent of parallelism, and which collapses duplicate
+    keys before any data moves.  Measured at local[8]: 15.7s vs 19.3s
+    (window) for an 8M-row compact; the local[2] spill is gone entirely.
     """
     df = lake.read(spark, version=version, buckets=buckets)
     if not lake.delta_files(version):
         return df
-    from pyspark.sql.window import Window
 
     key_cols = lake.key_cols()
     order = _lww_order("_seq", lake.tiebreakers())
@@ -89,13 +102,13 @@ def resolve(
     # after the key's latest tombstone count toward _first_seq (the COW path
     # gets this for free because the tombstone physically replaces the old
     # row; computing min over ALL non-delete rows here resurrected the
-    # pre-delete lineage).  The window shares the aggregation's hash
-    # partitioning, so no extra shuffle.
-    w = Window.partitionBy(*key_cols)
-    df = df.withColumn(
-        "_del_max",
-        F.max(F.when(F.col("_op") == OP_DELETE, F.col("_seq"))).over(w),
+    # pre-delete lineage).
+    dels = (
+        df.filter(F.col("_op") == OP_DELETE)
+        .groupBy(*key_cols)
+        .agg(F.max("_seq").alias("_del_max"))
     )
+    df = df.join(dels, key_cols, "left")
     alive_after_delete = (F.col("_op") != OP_DELETE) & (
         F.col("_del_max").isNull() | (F.col("_seq") > F.col("_del_max"))
     )
@@ -304,6 +317,7 @@ def append_delta(
     pre_dedup: bool = True,
     touched: list[int] | None = None,
     has_new: bool | None = None,
+    colocate: bool = True,
 ) -> dict:
     """MoR apply: write the batch as delta files — NO base rewrite.
 
@@ -357,7 +371,10 @@ def append_delta(
             ).alias("has_new"),
         )
 
-    out = batch.repartition(n_buckets, "_bucket")
+    # ``colocate``: shuffle the batch so each bucket is one file (read- and
+    # footer-friendly) vs write straight from the input splits (zero
+    # shuffle, one file per task×bucket — compaction folds them).
+    out = batch.repartition(n_buckets, "_bucket") if colocate else batch
     new_version = lake.latest_version() + 1
     new_files = lake.write_data_files(out, new_version, schema, role="delta")
     if obs is not None:

@@ -67,6 +67,7 @@ def make_pipeline(
     with_model: bool = True,
     strategy: str = "cow",
     compact_every: int = 8,
+    colocate_deltas: bool = True,
 ) -> CDCPipeline:
     """Table + ledger + pipeline rooted at ``root`` (created if absent)."""
     lake = create_repos_table(os.path.join(root, "repos"), n_buckets=n_buckets)
@@ -82,4 +83,5 @@ def make_pipeline(
         error_dir=os.path.join(root, "errors"),
         strategy=strategy,
         compact_every=compact_every,
+        colocate_deltas=colocate_deltas,
     )

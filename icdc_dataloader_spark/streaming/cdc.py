@@ -61,6 +61,7 @@ class CDCPipeline:
         strategy: str = "cow",
         compact_every: int = 8,
         retry_ttl: int = 3,
+        colocate_deltas: bool = True,
     ):
         """``strategy``:
 
@@ -95,6 +96,7 @@ class CDCPipeline:
         self.strategy = strategy
         self.compact_every = compact_every
         self.retry_ttl = retry_ttl
+        self.colocate_deltas = colocate_deltas
         self._batches_since_compact = 0
 
     # -- single batch ---------------------------------------------------------
@@ -192,6 +194,7 @@ class CDCPipeline:
                 batch_id=bid,
                 error_sink=merge_err_sink,
                 pre_dedup=self.pre_dedup,
+                colocate=self.colocate_deltas,
             )
             lineage = res.get("lineage") or {}
             self._batches_since_compact += 1
