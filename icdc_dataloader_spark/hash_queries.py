@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as TXT
 from .functions.identity import get_uuid, uuid5_expr
-from .functions.porthash import hex_int_sql, remix_sql
+from .functions.porthash import family_member_sql, hash_pair_sql, hex_int_sql
 from .operators import dedup, similarity
 from .operators.similarity import wta_pairs
 
@@ -172,7 +172,8 @@ def minhash_near_dups(spark, sf_dir):
 def _minhash_sql() -> str:
     k = MH_SHINGLE_K
     sig_cols = ",\n       ".join(
-        f"MIN({remix_sql('h', i)}) AS s{i}" for i in range(MH_NUM_HASHES)
+        f"MIN({family_member_sql('a', 'b', i)}) AS s{i}"
+        for i in range(MH_NUM_HASHES)
     )
     band_selects = []
     for b in range(MH_BANDS):
@@ -196,7 +197,10 @@ sh AS (
   UNION ALL
   SELECT doc_id, array_to_string(w, ' ') AS shingle FROM toks WHERE len(w) < {k}
 ),
-base AS (SELECT DISTINCT doc_id, {hex_int_sql('shingle')} AS h FROM sh),
+base AS (SELECT DISTINCT doc_id,
+                {hash_pair_sql('shingle')[0]} AS a,
+                {hash_pair_sql('shingle')[1]} AS b
+         FROM sh),
 sig AS (SELECT doc_id,
        {sig_cols}
   FROM base GROUP BY doc_id),

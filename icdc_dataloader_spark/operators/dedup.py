@@ -169,32 +169,34 @@ def minhash_signatures(
 
     Output: (id, sig: array<long>).
     """
-    from ..functions.porthash import hex_int, remix
+    from ..functions.porthash import family_member, hash_pair
 
     if repartition:
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism)
-    # shingle strings -> one base hash per shingle, materialized as a column
-    base_hash = hex_int if hash_mode == "portable" else F.xxhash64
+    # shingle strings -> one base hash per shingle, materialized as a column.
+    # Portable mode materializes the (a, b) Kirsch-Mitzenmacher basis from a
+    # SINGLE md5 per shingle; all num_hashes family members are then one
+    # multiply-add each (porthash.family_member) — bit-identical in DuckDB.
+    # NB: transform lambdas must be unary — a second parameter would be
+    # bound to the array INDEX by Spark's higher-order-function protocol.
+    base_hash = hash_pair if hash_mode == "portable" else F.xxhash64
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             _shingles(F.col(text_col), shingle_k), lambda s: base_hash(s)
         ).alias("_sh"),
     )
-    # per-function hash = cheap remix of the base hash.  NB: the transform
-    # lambda must be unary — a second parameter would be bound to the array
-    # INDEX by Spark's higher-order-function protocol.
     if hash_mode == "portable":
-        def _remix_i(i):
-            return lambda h: remix(h, i)
+        def _member_i(i):
+            return lambda p: family_member(p, i)
     else:
-        def _remix_i(i):
+        def _member_i(i):
             return lambda h: F.xxhash64(h, F.lit(i))
 
     mins = F.array(
         *[
-            F.array_min(F.transform(F.col("_sh"), _remix_i(i)))
+            F.array_min(F.transform(F.col("_sh"), _member_i(i)))
             for i in range(num_hashes)
         ]
     )

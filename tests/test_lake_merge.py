@@ -172,3 +172,23 @@ def test_vacuum_keeps_live_versions(spark, lake, tmp_path):
     lake.vacuum(keep_last=2)
     # latest still readable
     assert _state(spark, lake)[("r1", "a")] == ("c3", "v3")
+
+
+def test_footer_stats_via_spark_job_above_threshold(spark, lake, monkeypatch):
+    """Large commits gather per-file footer stats with a distributed job
+    (driver walk is O(#files) — the 10^10-scale commit bottleneck)."""
+    from icdc_dataloader_spark.plans import lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "FOOTER_JOB_THRESHOLD", 2)  # force job path
+    b = _batch(
+        spark,
+        [(f"r{i}", f"p{i}", "c1", "python", f"body{i}", i, "upsert") for i in range(40)],
+    )
+    merge_into(spark, lake, b, batch_id="footer-job")
+    snap = lake.snapshot()
+    files = [f for f in snap["files"] if f["rows"]]
+    assert files and all(f["rows"] > 0 for f in files)
+    # key min/max stats present and sane
+    st = next(f["stats"] for f in files if f.get("stats"))
+    assert "repo" in st and st["repo"]["min"].startswith("r")
+    assert _state(spark, lake)[("r7", "p7")] == ("c1", "body7")
