@@ -129,3 +129,32 @@ def test_no_python_udf_in_hot_path(spark):
         plan = _plan(QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses a Python UDF"
+
+
+def test_mor_resolve_has_no_window_sort(spark, tmp_path):
+    """MoR resolve must not window the full payload: the tombstone watermark
+    comes from a pruned delete-only aggregate joined back, and the winner
+    pick is a partial (map-side) aggregation — no reduce-side full-payload
+    Window whose sort chunk grows with rows/partitions (it spilled at low
+    parallelism before)."""
+    from pyspark.sql import functions as F
+
+    from icdc_dataloader_spark.plans.merge import append_delta, resolve
+    from icdc_dataloader_spark.repos import create_repos_table
+
+    lake = create_repos_table(str(tmp_path / "t"), n_buckets=4)
+    b = spark.createDataFrame(
+        [("r1", "p1", "c1", "py", "x", None, 1, "upsert"),
+         ("r1", "p1", None, None, None, None, 2, "delete"),
+         ("r1", "p1", "c3", "py", "y", None, 3, "upsert")],
+        "repo string, path string, commit string, lang string, content string,"
+        " content_sha256 string, _seq long, _op string",
+    )
+    append_delta(spark, lake, b, batch_id="b1")
+    df = resolve(spark, lake)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan, "winner pick must partial-aggregate map-side"
+    # the delete-watermark scan must be pruned to the key/seq/op columns
+    del_scan = [seg for seg in plan.split("ReadSchema:")[1:] if "content" not in seg.splitlines()[0]]
+    assert del_scan, "tombstone watermark scan must not read the payload columns"
