@@ -27,11 +27,18 @@ def export_index(
     select: list[str] | None = None,
     doc_id_col: str | None = None,
     partitions: int | None = None,
+    bulk_format: bool = False,
+    index_name: str = "nodes",
 ) -> int:
     """Write the current live state as JSON-lines 'bulk index' files.
 
     Returns the number of exported documents.  ``doc_id_col`` becomes the
-    ``_id`` field (the ES bulk convention).
+    ``_id`` field (the ES bulk convention).  ``bulk_format=True`` emits the
+    exact ``_bulk`` NDJSON wire shape — an action line
+    ``{"index":{"_index":...,"_id":...}}`` followed by the source document
+    — so the part files POST to an ES/OpenSearch ``_bulk`` endpoint as-is
+    (the reference streams the same pairs via streaming_bulk,
+    es_loader.py:122-136).
     """
     df = read_state(spark, lake)
     if model is not None and node_type is not None:
@@ -43,6 +50,18 @@ def export_index(
         df = df.withColumn("_id", F.col(doc_id_col).cast("string"))
     if partitions:
         df = df.repartition(partitions)
+    if bulk_format:
+        doc_cols = [c for c in df.columns if c != "_id"]
+        action_fields = [F.lit(index_name).alias("_index")]
+        if "_id" in df.columns:
+            action_fields.append(F.col("_id"))
+        action = F.to_json(F.struct(F.struct(*action_fields).alias("index")))
+        doc = F.to_json(F.struct(*doc_cols))
+        n = df.count()
+        df.select(
+            F.concat(action, F.lit("\n"), doc).alias("value")
+        ).write.mode("overwrite").text(out_dir)
+        return n
     df.write.mode("overwrite").json(out_dir)
     return spark.read.json(out_dir).count()
 
