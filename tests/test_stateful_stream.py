@@ -1,0 +1,52 @@
+"""applyInPandasWithState burst sessions over a file stream."""
+
+import os
+
+import pandas as pd
+
+from icdc_dataloader_spark.streaming.stateful import change_bursts
+
+
+def test_gap_closes_burst_and_open_burst_stays_in_state(spark, tmp_path):
+    src = tmp_path / "stream"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame(
+        {
+            "repo": ["r1"] * 3 + ["r1", "r1"] + ["r2"],
+            "ts": [
+                base,
+                base + pd.Timedelta(seconds=10),
+                base + pd.Timedelta(seconds=20),
+                # > 300s gap: closes the first burst
+                base + pd.Timedelta(seconds=1000),
+                base + pd.Timedelta(seconds=1010),
+                base + pd.Timedelta(seconds=5),
+            ],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    rows.to_parquet(os.path.join(str(src), "part-0.parquet"))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        change_bursts(stream, gap_seconds=300)
+        .writeStream.format("memory")
+        .queryName("bursts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        (r["repo"], r["n_events"], r["closed_by"])
+        for r in spark.sql("select * from bursts").collect()
+    }
+    # r1's first 3 events close by gap; the 1000s/1010s burst and all of
+    # r2 stay OPEN in state (no timeout fired in an availableNow drain)
+    assert out == {("r1", 3, "gap")}
+    row = spark.sql("select * from bursts").collect()[0]
+    assert row["burst_start"] == base and row["burst_end"] == base + pd.Timedelta(
+        seconds=20
+    )
