@@ -63,15 +63,16 @@ def strip_annotations(graphql_text: str) -> str:
                 count_started = False
             continue
         if "@" in line:
-            tag_open = True
             head, post = line.split("@", 1)
             out_lines.append(head + "\n")
             if "(" in post:
-                count_started = True
                 count = post.count("(") - post.count(")")
-                if count == 0:
-                    tag_open = False
-                    count_started = False
+                if count != 0:
+                    tag_open = True
+                    count_started = True
+            # argless annotation (@deprecated): consumed with its line —
+            # leaving the tag open would swallow the rest of the file
+            # waiting for a parenthesis that never comes
             continue
         out_lines.append(line)
     return "".join(out_lines)

@@ -174,10 +174,17 @@ def interval_join_visits_to_cycles(
         .drop("_rn", "_is_first", "_start", "_end")
     )
     # visits whose case had cycles but none matched: re-attach as unmatched,
-    # keyed by the same full visit identity
+    # keyed by the same full visit identity.  NULL-SAFE equality: a plain
+    # equi anti-join treats NULL payload columns as non-matching, so a
+    # matched visit with any NULL column would be re-emitted a second time
+    # with cycle_id NULL.
     matched_keys = out.select(*v_cols).distinct()
+    anti_cond = None
+    for col in v_cols:
+        term = v[col].eqNullSafe(matched_keys[col])
+        anti_cond = term if anti_cond is None else (anti_cond & term)
     unmatched = (
-        v.join(matched_keys, v_cols, "left_anti")
+        v.join(matched_keys, anti_cond, "left_anti")
         .withColumn("cycle_id", F.lit(None).cast(c.schema["cycle_id"].dataType))
     )
     return out.unionByName(unmatched, allowMissingColumns=True).withColumnsRenamed(

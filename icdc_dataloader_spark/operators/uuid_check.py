@@ -35,9 +35,17 @@ def verify_uuids(
     """
     expected = uuid5_expr(domain, node_type, F.col(signature_col))
     if indexd_mode:
-        cur = F.element_at(F.split(F.col(uuid_col), "/", 2), 2)
-        prefix = F.element_at(F.split(F.col(uuid_col), "/", 2), 1)
-        repaired = F.concat_ws("/", prefix, expected)
+        # '<guid_prefix>/<uuid>' (uuid_util.py:42-44); a value WITHOUT a
+        # prefix is treated as a bare uuid — repairing must not invent a
+        # prefix out of the old value
+        parts = F.split(F.col(uuid_col), "/", 2)
+        has_prefix = F.size(parts) == 2
+        cur = F.when(has_prefix, F.element_at(parts, 2)).otherwise(
+            F.col(uuid_col)
+        )
+        repaired = F.when(
+            has_prefix, F.concat_ws("/", F.element_at(parts, 1), expected)
+        ).otherwise(expected)
     else:
         cur = F.col(uuid_col)
         repaired = expected

@@ -57,11 +57,12 @@ def export_index(
             action_fields.append(F.col("_id"))
         action = F.to_json(F.struct(F.struct(*action_fields).alias("index")))
         doc = F.to_json(F.struct(*doc_cols))
-        n = df.count()
         df.select(
             F.concat(action, F.lit("\n"), doc).alias("value")
         ).write.mode("overwrite").text(out_dir)
-        return n
+        # count from the written files (2 lines per document) — a df.count()
+        # here would recompute the whole resolve+projection a second time
+        return spark.read.text(out_dir).count() // 2
     df.write.mode("overwrite").json(out_dir)
     return spark.read.json(out_dir).count()
 

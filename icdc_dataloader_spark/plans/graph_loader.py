@@ -330,7 +330,12 @@ class GraphLoader:
 
             plugin_metrics = {"nodes_created": 0, "relationships_created": 0}
             for node_type, prep in prepared:
-                loaded = self.nodes(node_type)
+                # the reference fires NODE_LOADED per newly loaded row
+                # (data_loader.py:1158-1161): pass THIS BATCH's node rows,
+                # not the accumulated table — per-load plugin work must stay
+                # proportional to the load (plugins that need history join
+                # through context['loader'])
+                loaded = tsv.node_projection(prep, self.model).drop("type")
                 derivations = self.registry.run(
                     self.spark,
                     EVENT_NODE_LOADED,
@@ -366,6 +371,8 @@ class GraphLoader:
             derived = {"nodes": {node_type: derived}}
         out = {"nodes_created": 0, "relationships_created": 0}
         for nt, df in (derived.get("nodes") or {}).items():
+            if df.limit(1).count() == 0:
+                continue  # nothing derived: no empty merge commit
             staged_nodes = self._with_sig(df)
             lake = self.node_lake(nt, staged_nodes.schema)
             self._evolve_for(lake, staged_nodes)
@@ -376,6 +383,8 @@ class GraphLoader:
             res = self._merge(lake, staged, batch_id=f"plugin-{nt}-{seq}", seq=seq)
             out["nodes_created"] += res["metrics"].get("rows_inserted", 0)
         edges = derived.get("edges")
+        if edges is not None and edges.limit(1).count() == 0:
+            edges = None
         if edges is not None:
             if "rel_props" not in edges.columns:
                 edges = edges.withColumn(
@@ -402,13 +411,23 @@ class GraphLoader:
         the reference's remove_old_relationship (data_loader.py:1076-1085).
         many_to_many keeps every pair (icdc_schema.py:236).
         """
-        m2m_rels = sorted(
-            name
-            for name, rel in self.model.relationships.items()
-            if rel.multiplier == "many_to_many"
-            or any(e.multiplier == "many_to_many" for e in rel.ends)
-        )
-        is_m2m = F.col("rel_type").isin(m2m_rels) if m2m_rels else F.lit(False)
+        # multiplicity is PER END (icdc_schema.py Mul override per Ends
+        # entry), not per relationship name: a rel whose (x->case) end is
+        # many_to_one must still re-parent-tombstone even when another end
+        # of the same name is many_to_many.  Classify by (rel, parent_type);
+        # a rel-level m2m with no ends listed stays m2m for every parent.
+        m2m_pairs = set()
+        m2m_rels_all_ends = set()
+        for name, rel in self.model.relationships.items():
+            if rel.multiplier == "many_to_many" and not rel.ends:
+                m2m_rels_all_ends.add(name)
+            for e in rel.ends:
+                if (e.multiplier or rel.multiplier) == "many_to_many":
+                    m2m_pairs.add(f"{name}\x01{e.dst}")
+        pair_key = F.concat_ws("\x01", F.col("rel_type"), F.col("parent_type"))
+        is_m2m = pair_key.isin(sorted(m2m_pairs)) if m2m_pairs else F.lit(False)
+        if m2m_rels_all_ends:
+            is_m2m = is_m2m | F.col("rel_type").isin(sorted(m2m_rels_all_ends))
 
         resolved = resolved.persist()
         single = resolved.filter(~is_m2m)
@@ -445,7 +464,7 @@ class GraphLoader:
         touched = sorted(
             r["_b"]
             for r in picked.select(
-                bucket_expr(["child_uuid"], lake.n_buckets()).alias("_b")
+                bucket_expr(lake.bucket_cols(), lake.n_buckets()).alias("_b")
             )
             .distinct()
             .collect()

@@ -272,13 +272,18 @@ class CDCPipeline:
         distinct scan.
         """
         import re as _re
+        from urllib.parse import unquote
 
         try:
             seen = set()
             for f in events.inputFiles():
                 m = _re.search(rf"/{_re.escape(batch_col)}=([^/]+)/", f)
                 if m:
-                    seen.add(m.group(1))
+                    # hive partition dirs percent-escape special chars
+                    # (':', ' ', '%'); the FILTER below compares the real
+                    # value — an escaped id would match zero rows and
+                    # commit an empty batch under the wrong id
+                    seen.add(unquote(m.group(1)))
             if seen:
                 return sorted(
                     seen,

@@ -58,7 +58,10 @@ def _burst_fn(gap_seconds: int, use_timeout: bool):
                 out["closed_by"].append("gap")
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # cross-batch late arrival: t can be BELOW the state's
+                # span — the burst must only ever widen (a moved-back
+                # `last` emitted end<start and split real bursts)
+                start, last, n = min(start, t), max(last, t), n + 1
         state.update((start, last, n))
         if use_timeout:
             state.setTimeoutDuration(gap_seconds * 1000)

@@ -93,3 +93,10 @@ def test_export_bulk_ndjson_pairs(spark, tmp_path):
     assert all(a["index"]["_index"] == "repos" for a in actions)
     assert {d["content"] for d in docs} == {"hello", "world"}
     assert all("_id" not in d for d in docs)
+
+
+def test_strip_argless_annotation_does_not_swallow_lines():
+    src = "type case {\n  case_id: String @deprecated\n  age: Int\n}\n"
+    doc = strip_annotations(src)
+    assert "  age: Int\n" in doc and "}\n" in doc
+    assert "@" not in doc

@@ -104,3 +104,19 @@ def test_as_of_join(spark):
     )
     got_s = {r["lid"]: r["asof_rid"] for r in strict.collect()}
     assert got_s == {10: None, 11: 2, 20: None}
+
+
+def test_interval_join_matched_visit_with_null_column_not_duplicated(spark):
+    """A matched visit carrying a NULL payload column must appear ONCE —
+    the unmatched re-attach anti-join must be null-safe."""
+    visits = spark.createDataFrame(
+        [("c1", "2024-01-10", "v1", None)],
+        "case_id string, visit_date string, visit_id string, notes string",
+    )
+    cycles = spark.createDataFrame(
+        [("c1", "cy1", "2024-01-01", "2024-02-01")],
+        "case_id string, cycle_id string, start_date string, end_date string",
+    )
+    out = R.interval_join_visits_to_cycles(visits, cycles).collect()
+    assert len(out) == 1
+    assert out[0]["cycle_id"] == "cy1" and out[0]["notes"] is None

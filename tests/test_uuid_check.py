@@ -35,3 +35,14 @@ def test_indexd_mode_preserves_guid_prefix(spark):
     checked = verify_uuids(df, DOMAIN, indexd_mode=True).collect()[0]
     assert not checked["_uuid_ok"]
     assert checked["_repaired_uuid"] == f"dg.4DFC/{get_uuid(DOMAIN, 'file', sig)}"
+
+
+def test_indexd_mode_bare_uuid_no_invented_prefix(spark):
+    sig = "s3://bucket/d.bam"
+    df = spark.createDataFrame(
+        [(sig, "just-wrong")], "file_location string, uuid string"
+    )
+    checked = verify_uuids(df, DOMAIN, indexd_mode=True).collect()[0]
+    assert not checked["_uuid_ok"]
+    # repaired value is the bare expected uuid — NOT 'just-wrong/<uuid>'
+    assert checked["_repaired_uuid"] == get_uuid(DOMAIN, "file", sig)
