@@ -100,3 +100,15 @@ def test_strip_argless_annotation_does_not_swallow_lines():
     doc = strip_annotations(src)
     assert "  age: Int\n" in doc and "}\n" in doc
     assert "@" not in doc
+
+
+def test_p7_public_projection_drops_private_props(spark):
+    from icdc_dataloader_spark.sources.tsv import public_projection
+
+    model = _model()
+    df = spark.createDataFrame(
+        [("c1", 4, "secret")], "case_id string, age int, ssn string"
+    )
+    out = public_projection(df, "case", model)
+    assert "ssn" not in out.columns
+    assert set(out.columns) == {"case_id", "age"}
