@@ -71,4 +71,9 @@ def hash_pair_sql(expr: str) -> tuple[str, str]:
 
 
 def family_member_sql(a_expr: str, b_expr: str, i: int) -> str:
+    # same guard as the Spark side: past i=63 the int64 arithmetic can
+    # overflow in DuckDB while Spark raises — the parity contract must
+    # fail symmetrically on both legs
+    if not 0 <= i <= FAMILY_MAX_I:
+        raise ValueError(f"family index {i} out of overflow-safe range")
     return f"({a_expr} + {i} * {b_expr})"

@@ -412,16 +412,23 @@ class GraphLoader:
         many_to_many keeps every pair (icdc_schema.py:236).
         """
         # multiplicity is PER END (icdc_schema.py Mul override per Ends
-        # entry), not per relationship name: a rel whose (x->case) end is
-        # many_to_one must still re-parent-tombstone even when another end
-        # of the same name is many_to_many.  Classify by (rel, parent_type);
-        # a rel-level m2m with no ends listed stays m2m for every parent.
+        # entry), not per relationship name: the reference resolves the
+        # multiplier per (src, dest) pair (icdc_schema.py:186-195,
+        # relationships[src][dest]).  When ``origin`` is a node type (the
+        # TSV load path) every edge's src IS origin, so resolve the exact
+        # end via model — two ends of one rel name sharing a dst with
+        # different multiplicities (sample->case many_to_one vs file->case
+        # many_to_many under 'of_case') classify correctly.  Mixed-origin
+        # plugin edges keep the (rel, parent_type) approximation.
         m2m_pairs = set()
         m2m_rels_all_ends = set()
+        src_known = origin in self.model.nodes
         for name, rel in self.model.relationships.items():
             if rel.multiplier == "many_to_many" and not rel.ends:
                 m2m_rels_all_ends.add(name)
             for e in rel.ends:
+                if src_known and e.src != origin:
+                    continue
                 if (e.multiplier or rel.multiplier) == "many_to_many":
                     m2m_pairs.add(f"{name}\x01{e.dst}")
         pair_key = F.concat_ws("\x01", F.col("rel_type"), F.col("parent_type"))

@@ -107,8 +107,18 @@ def resolve(
         df.filter(F.col("_op") == OP_DELETE)
         .groupBy(*key_cols)
         .agg(F.max("_seq").alias("_del_max"))
+        .select(
+            *[F.col(k).alias(f"_dk_{k}") for k in key_cols], "_del_max"
+        )
     )
-    df = df.join(dels, key_cols, "left")
+    # groupBy buckets NULL key components together, so the watermark join
+    # must too: null-unsafe equality would detach a NULL-keyed tombstone
+    # from its rows and silently skip their delete->recreate lineage reset
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_dk_{k}"))
+        cond = c if cond is None else (cond & c)
+    df = df.join(dels, cond, "left").drop(*[f"_dk_{k}" for k in key_cols])
     alive_after_delete = (F.col("_op") != OP_DELETE) & (
         F.col("_del_max").isNull() | (F.col("_seq") > F.col("_del_max"))
     )

@@ -102,6 +102,10 @@ def explode_archives(
             for apath, data in zip(pdf[path_col], pdf[content_col]):
                 data = bytes(data)
                 name = os.path.basename(str(apath)).lower()
+                # buffer per archive: a corrupt member AFTER valid ones must
+                # not leave partial members plus an archive-level error row
+                # downstream — the archive commits all-or-error
+                buffered: list[tuple] = []
                 try:
                     if name.endswith(".zip") or data[:2] == b"PK":
                         it = _iter_zip(data, max_member_bytes)
@@ -111,10 +115,12 @@ def explode_archives(
                     else:  # probe tar last (no cheap magic at offset 0)
                         it = _iter_tar(data, max_member_bytes)
                     for member, payload, n, err in it:
-                        emit(str(apath), member, payload, n, err)
+                        buffered.append((str(apath), member, payload, n, err))
                 except Exception:
-                    emit(str(apath), None, None, len(data),
-                         "unreadable_archive")
+                    buffered = [(str(apath), None, None, len(data),
+                                 "unreadable_archive")]
+                for row in buffered:
+                    emit(*row)
             yield pd.DataFrame(rows)
 
     return archives.select(

@@ -42,7 +42,9 @@ def _burst_fn(gap_seconds: int, use_timeout: bool):
                  "n_events": [n], "closed_by": ["timeout"]}
             )
             return
-        ts = pd.concat([p["ts"] for p in pdfs])
+        ts = pd.concat([p["ts"] for p in pdfs]).dropna()
+        # NaT would become INT64_MIN and poison min(start, t) for the
+        # key's open burst — nulls carry no event time, drop them
         us = sorted(ts.astype("datetime64[us]").astype("int64").tolist())
         start, last, n = state.get if state.exists else (None, None, 0)
         out = {"repo": [], "burst_start": [], "burst_end": [],
