@@ -123,13 +123,28 @@ class LakeTable:
     def _write_snapshot(self, version: int, snapshot: dict) -> None:
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.log_dir, f"v{version:012d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(f"snapshot v{version} already exists (concurrent write?)")
         with open(tmp, "w") as fh:
             json.dump(snapshot, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, final)  # atomic commit point
+        # single-writer commit point: link() FAILS if the version already
+        # exists (rename would silently replace it), so when two writers
+        # race the version counter exactly one wins and the loser gets a
+        # clean, loud error with zero corrupted snapshots — the local-FS
+        # analogue of an Iceberg catalog's atomic compare-and-swap.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"snapshot v{version} already exists (concurrent writer "
+                f"won the commit race in {self.log_dir}); re-read the "
+                "table and retry the commit"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     # -- properties ----------------------------------------------------------
 

@@ -22,10 +22,29 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CANONICAL = ["file_name", "org_url", "org_md5", "org_size", "acl"]
+CANONICAL = ["file_name", "file_format", "org_url", "org_md5", "org_size", "acl"]
 DEFAULT_ACL = "['Open']"  # base_adapter.py:22
 
+# compression suffixes ignored when deriving file_format
+# (file_copier.py:189-201)
+COMPRESSION_SUFFIXES = ["gz", "zip", "7z", "bz2", "xz", "rar"]
+
 _REQUIRED_ATTRS = ("org_url_expr", "normalize")
+
+
+def file_format_expr(name: F.Column) -> F.Column:
+    """P11 (file_copier.py:189-201 ``_parse_file_format``): the lowercased
+    final extension, skipping ONE trailing compression suffix when another
+    extension precedes it — ``a.txt.gz`` -> txt, ``a.gz`` -> gz,
+    ``noext`` -> NULL.  Pure Catalyst expressions (whole-stage codegen)."""
+    parts = F.split(F.lower(name), r"\.")
+    n = F.size(parts)
+    last = F.element_at(parts, -1)
+    return (
+        F.when(n < 2, F.lit(None).cast("string"))
+        .when(last.isin(COMPRESSION_SUFFIXES) & (n > 2), F.element_at(parts, -2))
+        .otherwise(last)
+    )
 
 
 class BaseSourceAdapter:
@@ -106,6 +125,7 @@ class BaseSourceAdapter:
         ]
         return df.select(
             name.alias("file_name"),
+            file_format_expr(name).alias("file_format"),
             self.org_url_expr(df).alias("org_url"),
             md5.alias("org_md5"),
             size.alias("org_size"),

@@ -62,6 +62,7 @@ class CDCPipeline:
         compact_every: int = 8,
         retry_ttl: int = 3,
         colocate_deltas: bool = True,
+        late_horizon: int | None = 0,
     ):
         """``strategy``:
 
@@ -79,6 +80,20 @@ class CDCPipeline:
         extra full-payload shuffles per batch and only helps when batches
         are extremely duplicate-heavy (hot-key bursts) — turn it on there
         to bound delta size by the batch's key count.
+
+        ``late_horizon``: the source's cross-drain lateness contract, which
+        gates tombstone GC during in-loop compaction.  A delete tombstone
+        at seq *t* may be physically dropped only once no upsert with
+        seq < *t* can ever arrive.  Events already visible in the binlog
+        are handled EXACTLY (the drain tracks the min seq of every not-yet-
+        applied batch and never GCs past it); events from *future* drains
+        are covered by this contract: "a future event's seq is never lower
+        than (min over buckets of the max applied seq) − late_horizon".
+        0 (default) is the WAL/binlog-tail guarantee (per-partition
+        monotone appends); a positive value tolerates bounded disorder;
+        ``None`` means no contract — tombstones are retained forever
+        (call :func:`plans.merge.compact` with an explicit watermark to
+        reclaim them).
         """
         self.spark = spark
         self.lake = lake
@@ -97,7 +112,11 @@ class CDCPipeline:
         self.compact_every = compact_every
         self.retry_ttl = retry_ttl
         self.colocate_deltas = colocate_deltas
+        self.late_horizon = late_horizon
         self._batches_since_compact = 0
+        # min event seq of every binlog batch not yet applied, maintained by
+        # run(); bounds the tombstone-GC watermark exactly for in-flight data
+        self._pending_mins: dict[str, int] = {}
 
     # -- single batch ---------------------------------------------------------
 
@@ -200,7 +219,11 @@ class CDCPipeline:
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
                 with timers.phase("compact"):
-                    compact(self.spark, self.lake)
+                    compact(
+                        self.spark,
+                        self.lake,
+                        drop_tombstones_below_seq=self._gc_watermark(),
+                    )
                 self._batches_since_compact = 0
         else:
             res = merge_into(
@@ -256,6 +279,90 @@ class CDCPipeline:
             "version": res["version"],
             "metrics": metrics,
         }
+
+    # -- tombstone GC watermark ------------------------------------------------
+
+    def _gc_watermark(self) -> int | None:
+        """Highest seq below which delete tombstones are provably dead.
+
+        Two bounds, take the min:
+
+        - **exact, in-flight**: the min seq of every binlog batch listed but
+          not yet applied (``_pending_mins``, maintained by :meth:`run`) —
+          an arrival-shuffled source (later batch, lower seqs) can never
+          lose a tombstone it still needs;
+        - **contractual, future**: min over buckets of the max applied seq,
+          minus ``late_horizon`` — the source's promise about events not
+          yet visible.  ``late_horizon=None`` disables GC entirely.
+
+        A tombstone below the result can only be beaten by upserts that are
+        themselves above it, so removing it never changes LWW outcomes.
+        """
+        if self.late_horizon is None:
+            return None
+        lw = self.ledger.low_water()
+        if not lw:
+            return None
+        wm = min(lw.values()) - self.late_horizon
+        pending = [m for m in self._pending_mins.values() if m is not None]
+        if pending:
+            wm = min(wm, min(pending))
+        return wm
+
+    def _pending_min_seqs(self, events: DataFrame, batch_col: str,
+                          pending: list) -> dict:
+        """Min event seq per pending batch — from parquet footers when the
+        binlog is batch-partitioned (driver-side, no job), else one
+        column-pruned aggregation."""
+        import re as _re
+        from urllib.parse import unquote
+
+        try:
+            import pyarrow.parquet as pq
+            from concurrent.futures import ThreadPoolExecutor
+
+            by_bid: dict[str, list[str]] = {}
+            for f in events.inputFiles():
+                m = _re.search(rf"/{_re.escape(batch_col)}=([^/]+)/", f)
+                if m:
+                    local = f[7:] if f.startswith("file://") else f
+                    by_bid.setdefault(unquote(m.group(1)), []).append(local)
+            if set(map(str, pending)) <= set(by_bid):
+
+                def batch_min(bid):
+                    lo = None
+                    for path in by_bid[str(bid)]:
+                        md = pq.ParquetFile(path).metadata
+                        if not md.num_row_groups:
+                            continue
+                        rg0 = md.row_group(0)
+                        idx = {
+                            rg0.column(j).path_in_schema: j
+                            for j in range(rg0.num_columns)
+                        }
+                        ci = idx.get(self.seq_col)
+                        if ci is None:
+                            return None  # no stats: caller falls back
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if not (st and st.has_min_max):
+                                return None
+                            lo = st.min if lo is None else min(lo, st.min)
+                    return lo
+
+                with ThreadPoolExecutor(max_workers=32) as pool:
+                    mins = dict(zip(pending, pool.map(batch_min, pending)))
+                if all(v is not None for v in mins.values()):
+                    return {str(k): int(v) for k, v in mins.items()}
+        except Exception:
+            pass
+        rows = (
+            events.filter(F.col(batch_col).isin(list(pending)))
+            .groupBy(batch_col)
+            .agg(F.min(self.seq_col).alias("_lo"))
+            .collect()
+        )
+        return {str(r[batch_col]): r["_lo"] for r in rows}
 
     # -- full tail loop ---------------------------------------------------------
 
@@ -320,6 +427,14 @@ class CDCPipeline:
         """
         batch_ids = self._list_batch_ids(events, batch_col)
         committed = self.lake.committed_batch_ids()
+        pending_all = [b for b in batch_ids if str(b) not in committed]
+        # min seq of EVERY unapplied batch (including ones beyond
+        # max_batches): the tombstone-GC watermark must never pass an
+        # event still waiting in the binlog, regardless of arrival order
+        if self.late_horizon is not None and pending_all:
+            self._pending_mins = self._pending_min_seqs(
+                events, batch_col, pending_all
+            )
         applied = []
         quarantined = []
         for bid in batch_ids:
@@ -337,6 +452,7 @@ class CDCPipeline:
                 try:
                     with timers.phase("batch.total"):
                         applied.append(self.apply_batch(batch, bid))
+                    self._pending_mins.pop(str(bid), None)
                     break
                 except Exception as e:  # noqa: BLE001 — parked, not hidden
                     if self.ledger.record_failure(bid, repr(e), self.retry_ttl):

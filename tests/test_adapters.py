@@ -95,3 +95,40 @@ def test_unsupported_scheme_reported_not_raised(spark, tmp_path):
         spark, UrlSourceAdapter(), manifest, str(tmp_path / "d")
     ).collect()[0]
     assert out["status"] == "unsupported_scheme"
+
+
+def test_file_format_derivation(spark):
+    """P11: file_copier.py:189-201 format table, compression suffixes skipped."""
+    from icdc_dataloader_spark.sources.adapters import file_format_expr
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("sample.TXT", "txt"),
+        ("reads.fastq.gz", "fastq"),
+        ("archive.tar.bz2", "tar"),
+        ("bundle.zip", "zip"),          # bare compression ext IS the format
+        ("a.b.c.xz", "c"),
+        ("noextension", None),
+        (".bashrc", "bashrc"),
+        ("image.svs", "svs"),
+        ("x.7z", "7z"),
+        ("x.y.7z", "y"),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "file_name string")
+    got = {
+        r["file_name"]: r["fmt"]
+        for r in df.withColumn("fmt", file_format_expr(F.col("file_name"))).collect()
+    }
+    assert got == {n: f for n, f in cases}
+
+
+def test_normalize_emits_file_format(spark):
+    from icdc_dataloader_spark.sources.adapters import UrlSourceAdapter
+
+    df = spark.createDataFrame(
+        [("https://x.org/d/reads.fastq.gz", "abc", 10)],
+        "file_location string, md5sum string, file_size long",
+    )
+    out = UrlSourceAdapter().normalize(df).collect()[0]
+    assert out["file_name"] == "reads.fastq.gz"
+    assert out["file_format"] == "fastq"

@@ -192,3 +192,41 @@ def test_footer_stats_via_spark_job_above_threshold(spark, lake, monkeypatch):
     st = next(f["stats"] for f in files if f.get("stats"))
     assert "repo" in st and st["repo"]["min"].startswith("r")
     assert _state(spark, lake)[("r7", "p7")] == ("c1", "body7")
+
+
+def test_two_writer_commit_race_one_clean_failure(spark, lake, tmp_path):
+    """Round-3: concurrent writers racing the version counter — exactly one
+    commit wins; the loser fails loudly with zero corrupted snapshots."""
+    import json
+    import threading
+
+    merge_into(spark, lake, _batch(spark, [("r1", "a", "c1", "python", "v1", 1, "upsert")]),
+               batch_id="seed", tiebreakers=["commit", "content_sha256"])
+    snap = lake.snapshot()
+    version = snap["version"] + 1
+
+    results = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        try:
+            barrier.wait()
+            lake._write_snapshot(version, dict(snap, version=version, note=tag))
+            results.append((tag, "ok"))
+        except RuntimeError as e:
+            results.append((tag, f"fail:{e}"))
+
+    ts = [threading.Thread(target=writer, args=(f"w{i}",)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    outcomes = sorted(status.split(":")[0] for _, status in results)
+    assert outcomes == ["fail", "ok"], results
+    # the surviving snapshot parses cleanly and no tmp files are left behind
+    loaded = lake.snapshot(version)
+    assert loaded["version"] == version
+    import os as _os
+    leftovers = [f for f in _os.listdir(lake.log_dir) if f.startswith(".tmp-")]
+    assert leftovers == []

@@ -124,3 +124,44 @@ def test_mor_tombstone_gc(spark, tmp_path):
     assert after == before
     raw = pipe.lake.read(spark)
     assert raw.filter("_op = 'delete'").count() == 0
+
+
+def test_default_loop_gcs_tombstones_and_keeps_late_lww(spark, tmp_path):
+    """Round-3: the DEFAULT CDC loop reclaims dead tombstones (late_horizon=0)
+    while the pending-batch watermark protects in-flight late events.
+
+    b2 carries a LATE lower-seq upsert for the key b1 deleted: the in-drain
+    watermark (min pending seq = 50) must retain the tombstone until b2 is
+    applied and lost, and the final in-loop compaction must then physically
+    remove it."""
+    import pandas as pd
+
+    rows = [
+        dict(seq=1,   op="upsert", repo="r1", path="a", commit="c1", lang="python", content="v1", batch_id=0),
+        dict(seq=2,   op="upsert", repo="r2", path="b", commit="c2", lang="python", content="v2", batch_id=0),
+        dict(seq=101, op="delete", repo="r2", path="b", commit=None, lang=None, content=None, batch_id=1),
+        dict(seq=102, op="upsert", repo="r1", path="a", commit="c3", lang="python", content="v3", batch_id=1),
+        dict(seq=50,  op="upsert", repo="r2", path="b", commit="cL", lang="python", content="late", batch_id=2),
+        dict(seq=201, op="upsert", repo="r3", path="c", commit="c4", lang="python", content="v4", batch_id=2),
+        dict(seq=301, op="upsert", repo="r1", path="a", commit="c5", lang="python", content="v5", batch_id=3),
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.Timestamp("2024-01-01").as_unit("us")
+    src = str(tmp_path / "binlog")
+    spark.createDataFrame(pdf).write.partitionBy("batch_id").parquet(src)
+
+    pipe = make_pipeline(
+        spark, str(tmp_path / "out"), n_buckets=1, strategy="mor", compact_every=2
+    )
+    assert pipe.late_horizon == 0  # GC is the default now
+    pipe.run(spark.read.parquet(src))
+
+    state = _state(spark, pipe)
+    assert set(state) == {("r1", "a"), ("r3", "c")}
+    assert state[("r1", "a")][0] == "c5"  # latest upsert won
+    # the late seq-50 upsert LOST to the seq-101 tombstone (retained by the
+    # pending-batch watermark while b2 was in flight)
+    assert ("r2", "b") not in state
+    # ... and the tombstone is now physically gone from the table files
+    raw = pipe.lake.read(spark)
+    assert raw.filter("_op = 'delete'").count() == 0
