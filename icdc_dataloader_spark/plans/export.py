@@ -75,3 +75,116 @@ def export_report(errors: DataFrame, out_dir: str) -> None:
         .option("header", True)
         .csv(out_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-derived "model"/"about" indexes (es_loader.py:138-209)
+# ---------------------------------------------------------------------------
+
+PROP_ENUM = "Enum"  # icdc_schema.py:16
+
+_MODEL_DOC_SCHEMAS = {
+    "node": "type string, node string, node_name string, node_kw string",
+    "property": (
+        "type string, node string, node_name string, property string,"
+        " property_name string, property_kw string,"
+        " property_description string, property_required boolean,"
+        " property_type string"
+    ),
+    "value": (
+        "type string, node string, node_name string, property string,"
+        " property_name string, property_description string,"
+        " property_required boolean, property_type string,"
+        " value string, value_kw string"
+    ),
+}
+
+
+def model_index_docs(spark: SparkSession, model: Model, subtype: str) -> DataFrame:
+    """UI-facing documents derived from the SCHEMA, not the data — the
+    reference's ``get_model_data`` (es_loader.py:167-209): one doc per node
+    ('node'), per non-relationship property ('property'), or per enum value
+    ('value').  Relationship-based properties never reach ``Model.nodes``
+    (parent pointers compile to edges), matching the reference's
+    ``"@relation" in type`` skip.  Metadata-sized by construction — the
+    driver materializes the dicts and Spark distributes the write."""
+    if subtype not in _MODEL_DOC_SCHEMAS:
+        raise ValueError(f"unknown model index subtype: {subtype}")
+    rows = []
+    for node_name in sorted(model.nodes):
+        props = model.props_of(node_name)
+        if subtype == "node":
+            rows.append(
+                {"type": "node", "node": node_name, "node_name": node_name,
+                 "node_kw": node_name}
+            )
+            continue
+        for prop_name in sorted(props):
+            p = props[prop_name]
+            ptype = PROP_ENUM if p.enum else p.type
+            if subtype == "property":
+                rows.append(
+                    {
+                        "type": "property", "node": node_name,
+                        "node_name": node_name, "property": prop_name,
+                        "property_name": prop_name, "property_kw": prop_name,
+                        "property_description": "",
+                        "property_required": bool(p.required),
+                        "property_type": ptype,
+                    }
+                )
+            elif subtype == "value" and p.enum:
+                for value in sorted(p.enum):
+                    rows.append(
+                        {
+                            "type": "value", "node": node_name,
+                            "node_name": node_name, "property": prop_name,
+                            "property_name": prop_name,
+                            "property_description": "",
+                            "property_required": bool(p.required),
+                            "property_type": PROP_ENUM,
+                            "value": str(value), "value_kw": str(value),
+                        }
+                    )
+    return spark.createDataFrame(rows, _MODEL_DOC_SCHEMAS[subtype])
+
+
+def export_model_index(
+    spark: SparkSession,
+    model: Model,
+    out_dir: str,
+    subtype: str,
+    bulk_format: bool = True,
+    index_name: str = "model",
+) -> int:
+    """``load_model`` (es_loader.py:160-166): write the schema-derived docs
+    in the same ``_bulk`` NDJSON wire shape as the data indexes."""
+    df = model_index_docs(spark, model, subtype).coalesce(1)
+    if bulk_format:
+        action = F.to_json(
+            F.struct(F.struct(F.lit(index_name).alias("_index")).alias("index"))
+        )
+        doc = F.to_json(F.struct(*df.columns))
+        df.select(F.concat(action, F.lit("\n"), doc).alias("value")).write.mode(
+            "overwrite"
+        ).text(out_dir)
+        return spark.read.text(out_dir).count() // 2
+    df.write.mode("overwrite").json(out_dir)
+    return spark.read.json(out_dir).count()
+
+
+def about_page_docs(spark: SparkSession, about_file: str) -> DataFrame:
+    """``load_about_page`` (es_loader.py:138-148): one document per page of
+    the about-YAML, id ``page{page}``; page payloads ride as raw JSON."""
+    import json
+
+    import yaml
+
+    with open(about_file) as fh:
+        pages = yaml.safe_load(fh)
+    rows = [
+        {"_id": f"page{p['page']}", "page": str(p["page"]),
+         "doc": json.dumps(p, sort_keys=True)}
+        for p in pages
+    ]
+    return spark.createDataFrame(rows, "_id string, page string, doc string")

@@ -173,3 +173,52 @@ def test_batch_id_reuse_fails_loudly(spark, tmp_path):
     gl._seq = 0  # simulate corrupted/stale seq state
     with pytest.raises(RuntimeError, match="not ahead|already committed"):
         gl.load_files([("repo_file", f1)])
+
+
+def test_commits_proportional_to_types_not_files(spark, tmp_path):
+    """Round-3: many files of one type fold into ONE staged merge — snapshot
+    commits (and report-count jobs) scale with #types, not #files."""
+    model = load_repos_model()
+    owners = _write_tsv(
+        tmp_path / "o.txt", ["type", "owner_id", "owner_name"],
+        [["repo_owner", "o1", "Alice"], ["repo_owner", "o2", "Bob"]],
+    )
+    file_tsvs = []
+    for i in range(4):  # 4 files of the same type
+        file_tsvs.append(_write_tsv(
+            tmp_path / f"f{i}.txt",
+            ["type", "file_key", "repo", "path", "commit", "lang",
+             "repo_owner.owner_id"],
+            [["repo_file", f"r{i}:a", f"r{i}", "a", f"c{i}", "python",
+              "o1" if i % 2 == 0 else "o2"]],
+        ))
+    gl = GraphLoader(spark, str(tmp_path / "g"), model)
+    m = gl.load_files([("repo_owner", owners)] +
+                      [("repo_file", p) for p in file_tsvs])
+    assert m["repo_file"]["created"] == 4
+    assert m["relationships_created"] == 4
+    # one merge commit per node type (version 0 is the create snapshot)
+    assert gl._node_lakes["repo_owner"].latest_version() == 1
+    assert gl._node_lakes["repo_file"].latest_version() == 1
+    # one edge commit per child type with edges
+    assert gl.edge_lake().latest_version() == 1
+
+
+def test_same_type_files_with_different_headers_union(spark, tmp_path):
+    model = load_repos_model()
+    f1 = _write_tsv(
+        tmp_path / "f1.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang"],
+        [["repo_file", "r1:a", "r1", "a", "c1", "python"]],
+    )
+    f2 = _write_tsv(  # extra column only in the second file
+        tmp_path / "f2.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "size_kb"],
+        [["repo_file", "r2:b", "r2", "b", "c2", "go", "12"]],
+    )
+    gl = GraphLoader(spark, str(tmp_path / "g"), model)
+    m = gl.load_files([("repo_file", f1), ("repo_file", f2)])
+    assert m["repo_file"]["created"] == 2
+    rows = {r["file_key"]: r for r in gl.nodes("repo_file").collect()}
+    assert rows["r2:b"]["size_kb"] == 12.0 or rows["r2:b"]["size_kb"] == "12"
+    assert rows["r1:a"]["size_kb"] is None
