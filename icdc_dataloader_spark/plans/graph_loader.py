@@ -124,11 +124,12 @@ class GraphLoader:
                 st = (f.get("stats") or {}).get("_seq") or {}
                 if st.get("max") is not None:
                     max_seq = max(max_seq, int(st["max"]))
-            # batch ids embed the allocating seq ("<name>-<seq>")
-            for bid in lake.committed_batch_ids():
-                m = re.search(r"-(\d+)$", bid)
-                if m:
-                    max_seq = max(max_seq, int(m.group(1)))
+            # batch ids embed the allocating seq ("<name>-<seq>"): the
+            # range-compressed id set exposes the max suffix directly —
+            # O(#prefixes), no expansion of the applied-batch history
+            ms = lake.committed_batch_ids().max_numeric_suffix()
+            if ms is not None:
+                max_seq = max(max_seq, ms)
         self._seq = max_seq
 
     # -- table plumbing -------------------------------------------------------

@@ -9,10 +9,17 @@ only), so the table layer the north rule requires is implemented natively:
   catalog — the API mirrors its semantics on purpose).
 - a snapshot lists data files with per-file stats (rows, bucket, key
   min/max) -> file-level pruning for MERGE, the Spark analogue of the
-  reference's id-field indexes (create_index.py:60-95).
+  reference's id-field indexes (create_index.py:60-95).  File entries live
+  in immutable per-bucket MANIFEST files (``_log/manifests/``); a snapshot
+  holds only the manifest paths per bucket, so a commit writes one small
+  manifest for its additions and re-references untouched buckets' lists
+  verbatim — per-commit metadata write cost is O(new files + touched
+  buckets), never O(table files) (the Iceberg manifest-list construction).
 - ``committed_batch_ids`` (cumulative) makes batch application idempotent:
   re-applying a committed batch is a no-op — the lineage of the reference's
-  delete-SQS-message-only-after-success (file_loader.py:441-445).
+  delete-SQS-message-only-after-success (file_loader.py:441-445).  Stored
+  range-compressed (plans/batchids.py): near-monotonic ids serialize as
+  O(#discontinuities) per commit instead of O(batches so far).
 - schema evolution: a snapshot carries its own schema; files written under
   older schemas are reconciled at read time (missing columns -> NULL, safe
   widenings cast) — **no rewrite** (north rule: add/widen without rewrite).
@@ -40,6 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .batchids import BatchIdSet
+
 _LOG_RE = re.compile(r"^v(\d{12})\.json$")
 
 # commits writing more files than this gather footer stats via a Spark job
@@ -59,6 +68,12 @@ class LakeTable:
     def __init__(self, root: str):
         self.root = root
         self.log_dir = os.path.join(root, "_log")
+        self.manifest_dir = os.path.join(self.log_dir, "manifests")
+        # snapshots and manifests are immutable once linked into the log,
+        # so per-version / per-path caches are safe across writers
+        self._snapshot_cache: dict[int, dict] = {}
+        self._files_cache: dict[int, list] = {}
+        self._manifest_cache: dict[str, list] = {}
 
     # -- creation / snapshot plumbing ---------------------------------------
 
@@ -94,9 +109,9 @@ class LakeTable:
                 "bucket_cols": list(bucket_cols or key_cols),
                 "tiebreakers": list(tiebreakers or []),
                 "n_buckets": n_buckets,
-                "files": [],
+                "manifests": {},
                 "batch_id": None,
-                "committed_batch_ids": [],
+                "committed_batch_ids": BatchIdSet().to_json(),
                 "metrics": {},
                 "ts": time.time(),
             },
@@ -113,12 +128,138 @@ class LakeTable:
         ]
         return max(versions) if versions else None
 
-    def snapshot(self, version: int | None = None) -> dict:
+    def _raw_snapshot(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
-        with open(os.path.join(self.log_dir, f"v{v:012d}.json")) as fh:
-            return json.load(fh)
+        cached = self._snapshot_cache.get(v)
+        if cached is None:
+            with open(os.path.join(self.log_dir, f"v{v:012d}.json")) as fh:
+                cached = json.load(fh)
+            self._snapshot_cache[v] = cached
+            # bound driver memory over 10^5-commit runs: only recent
+            # versions stay cached (older reads just re-open the JSON)
+            for old in sorted(self._snapshot_cache)[:-4]:
+                self._snapshot_cache.pop(old, None)
+                self._files_cache.pop(old, None)
+        return cached
+
+    def snapshot(self, version: int | None = None) -> dict:
+        """Snapshot dict with ``files`` resolved from its bucket manifests
+        (legacy inline-``files`` snapshots pass through unchanged)."""
+        raw = self._raw_snapshot(version)
+        snap = dict(raw)
+        if "files" in snap:
+            snap["files"] = list(snap["files"])
+            return snap
+        v = snap["version"]
+        files = self._files_cache.get(v)
+        if files is None:
+            files = [
+                e
+                for bucket in sorted(snap.get("manifests") or {})
+                for mp in snap["manifests"][bucket]
+                for e in self._load_manifest(mp)
+            ]
+            self._files_cache[v] = files
+        snap["files"] = list(files)
+        return snap
+
+    # -- manifest files (immutable, content shared across snapshots) ---------
+
+    def _load_manifest(self, relpath: str) -> list[dict]:
+        entries = self._manifest_cache.get(relpath)
+        if entries is None:
+            with open(os.path.join(self.root, relpath)) as fh:
+                doc = json.load(fh)
+            schemas = doc.get("schemas") or []
+            entries = doc["entries"]
+            for e in entries:
+                if "schema_idx" in e:
+                    e["schema"] = schemas[e.pop("schema_idx")]
+            self._manifest_cache[relpath] = entries
+            if len(self._manifest_cache) > 512:  # bound driver memory
+                for k in list(self._manifest_cache)[:256]:
+                    del self._manifest_cache[k]
+        return entries
+
+    def _write_manifest(self, entries: list[dict]) -> str:
+        """Write one immutable manifest; schema JSON strings are interned
+        (every entry of a write shares one schema — without interning each
+        file entry repeats a ~1 KB schema string)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        schemas: list[str] = []
+        idx: dict[str, int] = {}
+        out = []
+        for e in entries:
+            e2 = dict(e)
+            s = e2.pop("schema", None)
+            if s is not None:
+                if s not in idx:
+                    idx[s] = len(schemas)
+                    schemas.append(s)
+                e2["schema_idx"] = idx[s]
+            out.append(e2)
+        name = f"m-{uuid.uuid4().hex}.json"
+        full = os.path.join(self.manifest_dir, name)
+        with open(full, "w") as fh:
+            json.dump({"schemas": schemas, "entries": out}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        relpath = os.path.relpath(full, self.root)
+        self._manifest_cache[relpath] = list(entries)
+        return relpath
+
+    def _build_manifests(self, prev_raw: dict, all_files: list[dict]) -> dict:
+        """Per-bucket manifest lists for a new snapshot.
+
+        A bucket whose file set is unchanged re-references the parent's
+        manifest list; a bucket that only GAINED files appends ONE manifest
+        holding the additions; anything else (compaction, rewrite) gets a
+        fresh single manifest.  Write cost per commit is therefore
+        O(added files + changed buckets), independent of table history.
+        """
+        new_by_bucket: dict[str, list[dict]] = {}
+        for f in all_files:
+            new_by_bucket.setdefault(str(f["bucket"]), []).append(f)
+        prev_manifests = prev_raw.get("manifests")
+        if prev_manifests is None:
+            # legacy snapshot with inline files: treat as no reusable lists
+            prev_manifests = {}
+        out: dict[str, list[str]] = {}
+        for bucket, entries in new_by_bucket.items():
+            new_paths = {e["path"] for e in entries}
+            prev_list = prev_manifests.get(bucket) or []
+            prev_paths = {
+                e["path"] for mp in prev_list for e in self._load_manifest(mp)
+            }
+            if new_paths == prev_paths:
+                out[bucket] = list(prev_list)
+            elif prev_list and prev_paths <= new_paths:
+                added = [e for e in entries if e["path"] not in prev_paths]
+                out[bucket] = self._tiered_merge(
+                    list(prev_list) + [self._write_manifest(added)]
+                )
+            else:
+                out[bucket] = [self._write_manifest(entries)]
+        return out
+
+    def _tiered_merge(self, mlist: list[str]) -> list[str]:
+        """Size-tiered manifest compaction (binary-counter / LSM shape):
+        merge the newest manifest into its predecessor while it has grown
+        to the predecessor's size.  Keeps a bucket's manifest list at
+        O(log appends) length with amortized O(log appends) rewrite cost —
+        a plain append-per-commit list would put B relpaths in every
+        snapshot after B commits (linear snapshot growth again)."""
+        while len(mlist) >= 2 and (
+            len(self._load_manifest(mlist[-1]))
+            >= len(self._load_manifest(mlist[-2]))
+        ):
+            merged = self._load_manifest(mlist[-2]) + self._load_manifest(
+                mlist[-1]
+            )
+            mlist = mlist[:-2] + [self._write_manifest(merged)]
+        return mlist
 
     def _write_snapshot(self, version: int, snapshot: dict) -> None:
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -169,8 +310,8 @@ class LakeTable:
             f for f in self.snapshot(version)["files"] if f.get("role") == "delta"
         ]
 
-    def committed_batch_ids(self) -> set:
-        return set(self.snapshot()["committed_batch_ids"])
+    def committed_batch_ids(self) -> BatchIdSet:
+        return BatchIdSet.from_json(self._raw_snapshot()["committed_batch_ids"])
 
     def is_batch_committed(self, batch_id) -> bool:
         return str(batch_id) in self.committed_batch_ids()
@@ -348,13 +489,13 @@ class LakeTable:
         metrics: dict | None = None,
         schema: T.StructType | None = None,
     ) -> int:
-        prev = self.snapshot()
-        if batch_id is not None and str(batch_id) in set(prev["committed_batch_ids"]):
+        prev = self._raw_snapshot()
+        committed = BatchIdSet.from_json(prev["committed_batch_ids"])
+        if batch_id is not None and str(batch_id) in committed:
             return prev["version"]  # already applied: no-op
         version = prev["version"] + 1
-        committed = list(prev["committed_batch_ids"])
         if batch_id is not None:
-            committed.append(str(batch_id))
+            committed.add(str(batch_id))
         self._write_snapshot(
             version,
             {
@@ -366,9 +507,11 @@ class LakeTable:
                 "bucket_cols": prev.get("bucket_cols") or prev["key_cols"],
                 "tiebreakers": prev.get("tiebreakers", []),
                 "n_buckets": prev["n_buckets"],
-                "files": carried_files + new_files,
+                "manifests": self._build_manifests(
+                    prev, carried_files + new_files
+                ),
                 "batch_id": None if batch_id is None else str(batch_id),
-                "committed_batch_ids": committed,
+                "committed_batch_ids": committed.to_json(),
                 "metrics": metrics or {},
                 "ts": time.time(),
             },
@@ -427,28 +570,39 @@ class LakeTable:
         return version
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Delete data dirs referenced only by snapshots older than the last N."""
+        """Delete data dirs (and manifests) referenced only by snapshots
+        older than the last N."""
         latest = self.latest_version()
         if latest is None:
             return
         keep_versions = range(max(0, latest - keep_last + 1), latest + 1)
         live = set()
+        live_manifests = set()
         for v in keep_versions:
             for f in self.snapshot(v)["files"]:
                 live.add(os.path.join(self.root, f["path"]))
+            for paths in (self._raw_snapshot(v).get("manifests") or {}).values():
+                live_manifests.update(paths)
         data_root = os.path.join(self.root, "data")
-        if not os.path.isdir(data_root):
-            return
-        for d in os.listdir(data_root):
-            full = os.path.join(data_root, d)
-            files = {
-                os.path.join(dp, fn)
-                for dp, _, fns in os.walk(full)
-                for fn in fns
-                if fn.endswith(".parquet")
-            }
-            if files and not (files & live):
-                shutil.rmtree(full)
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                files = {
+                    os.path.join(dp, fn)
+                    for dp, _, fns in os.walk(full)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                }
+                if files and not (files & live):
+                    shutil.rmtree(full)
+        if os.path.isdir(self.manifest_dir):
+            for fn in os.listdir(self.manifest_dir):
+                rel = os.path.relpath(
+                    os.path.join(self.manifest_dir, fn), self.root
+                )
+                if rel not in live_manifests:
+                    os.unlink(os.path.join(self.manifest_dir, fn))
+                    self._manifest_cache.pop(rel, None)
 
 
 def _json_safe(v):
