@@ -76,6 +76,26 @@ def main():
     minhash_lsh_dedup(docs, jaccard_threshold=0.3, hash_mode="xxhash64").collect()
     timings["minhash_near_dups_xx64"] = round(time.time() - t0, 3)
 
+    # ANN LSH scale path: time it AND report recall@10 vs the exact
+    # brute-force ranking (the oracle proves the algorithm is computed
+    # correctly; recall proves the approximation is good)
+    from icdc_dataloader_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    ann_queries = emb.filter("vec_id < 50")
+    truth = {
+        (r[0], r[1])
+        for r in similarity.cosine_topk(emb, ann_queries, k=10)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    t0 = time.time()
+    approx_rows = similarity.lsh_topk(emb, ann_queries, dim=64, k=10).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    timings["lsh_ann_topk"] = round(time.time() - t0, 3)
+    lsh_recall = round(len({(r[0], r[1]) for r in approx_rows} & truth) / len(truth), 3)
+
     # end-to-end CDC pipeline: generate once, then time the tail loop
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
@@ -123,6 +143,7 @@ def main():
                 "sf": sf,
                 "cdc_events": n_cdc_events,
                 "cdc_events_per_sec": cdc_eps,
+                "lsh_recall_at_10": lsh_recall,
             }
         )
     )

@@ -1,0 +1,52 @@
+"""Round-3: the LSH top-k approximation must be GOOD, not just correctly
+computed (the DuckDB oracle proves the latter; this proves the former).
+
+Recall@k is measured against the exact brute-force cosine ranking on the
+largest local corpus (sf0.1: 2000×64-dim vectors) with the pinned default
+parameters, and the monotone recall-vs-n_tables relationship is spot-
+checked so parameter regressions surface as test failures."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icdc_dataloader_spark.operators import similarity
+
+SF_DIR = os.environ.get("TEST_LSH_SF_DIR", "/root/testdata/sf0.1")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} missing")
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _recall(emb, n_planes, n_tables, k=10, n_queries=50):
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    truth = {
+        (r[0], r[1])
+        for r in similarity.cosine_topk(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    approx = {
+        (r[0], r[1])
+        for r in similarity.lsh_topk(
+            emb, queries, dim=64, k=k, n_planes=n_planes, n_tables=n_tables
+        )
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    return len(approx & truth) / len(truth)
+
+
+def test_default_params_hit_recall_floor(spark, emb):
+    assert _recall(emb, n_planes=4, n_tables=16) >= 0.8
+
+
+def test_recall_improves_with_tables(spark, emb):
+    lo = _recall(emb, n_planes=4, n_tables=4)
+    hi = _recall(emb, n_planes=4, n_tables=16)
+    assert hi > lo  # documented tradeoff direction holds on real data
