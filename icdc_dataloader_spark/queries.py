@@ -872,3 +872,160 @@ ORDER BY v.case_id, visit_date, m.cycle_id
 
 QUERIES["interval_join_visit_cycle"] = interval_join_visit_cycle
 ORACLES["interval_join_visit_cycle"] = INTERVAL_SQL
+
+
+def session_windows(spark, sf_dir):
+    """Gap-based sessionization (the BATCH analogue of the streaming
+    change_bursts operator, streaming/stateful.py): per user, events more
+    than 30 min apart start a new session.  lag + running-sum window —
+    one shuffle on user_id; value totals in integer cents so the oracle
+    comparison is bit-exact under any summation order."""
+    from pyspark.sql.window import Window
+
+    epoch0 = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # tz-independent truncating seconds (NTZ minus fixed NTZ epoch;
+        # matches DuckDB date_diff('second', ...) exactly)
+        (F.col("ts").cast("timestamp_ntz") - epoch0).cast("long").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    new_sess = F.when(
+        F.col("ts_s") - F.lag("ts_s").over(w) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_s").alias("session_start_s"),
+            F.max("ts_s").alias("session_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+SESSION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(date_diff('second', TIMESTAMP '2000-01-01 00:00:00', ts)
+              AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), tagged AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER
+              (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+            THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+), sess AS (
+  SELECT *, SUM(new_sess) OVER
+      (PARTITION BY user_id ORDER BY ts_s, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM tagged
+)
+SELECT user_id, session_no, MIN(ts_s) AS session_start_s,
+       MAX(ts_s) AS session_end_s, COUNT(*) AS n_events,
+       SUM(cents) AS total_cents
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+QUERIES["session_windows"] = session_windows
+ORACLES["session_windows"] = SESSION_SQL
+
+
+def file_format_parse(spark, sf_dir):
+    """P11 (file_copier.py:189-201): derive file_format from a filename,
+    skipping one trailing compression suffix when another extension
+    precedes it.  Filenames synthesized deterministically from doc ids so
+    the DuckDB oracle re-derives the SAME names and replicates the parse
+    with its own string functions (independent implementation)."""
+    from .sources.adapters import file_format_expr
+
+    exts = [".txt.gz", ".tar.bz2", ".zip", "", ".CSV", ".fastq.GZ"]
+    docs = _t(spark, sf_dir, "documents")
+    ext_arr = F.array(*[F.lit(e) for e in exts])
+    name = F.concat(
+        F.lit("doc_"),
+        F.col("doc_id").cast("string"),
+        F.element_at(ext_arr, (F.col("doc_id") % 6 + 1).cast("int")),
+    )
+    return docs.select(
+        "doc_id",
+        name.alias("file_name"),
+        file_format_expr(name).alias("file_format"),
+    ).orderBy("doc_id")
+
+
+FILE_FORMAT_SQL = """
+WITH named AS (
+  SELECT doc_id,
+         'doc_' || CAST(doc_id AS VARCHAR) ||
+         (['.txt.gz', '.tar.bz2', '.zip', '', '.CSV', '.fastq.GZ'])
+           [CAST(doc_id % 6 AS INT) + 1] AS file_name
+  FROM documents
+), split AS (
+  SELECT doc_id, file_name,
+         string_split(lower(file_name), '.') AS parts
+  FROM named
+)
+SELECT doc_id, file_name,
+       CASE WHEN len(parts) < 2 THEN NULL
+            WHEN parts[len(parts)] IN ('gz','zip','7z','bz2','xz','rar')
+                 AND len(parts) > 2 THEN parts[len(parts) - 1]
+            ELSE parts[len(parts)]
+       END AS file_format
+FROM split
+ORDER BY doc_id
+"""
+
+QUERIES["file_format_parse"] = file_format_parse
+ORACLES["file_format_parse"] = FILE_FORMAT_SQL
+
+
+def model_property_docs(spark, sf_dir):  # noqa: ARG001 - schema-derived
+    """es_loader.py:167-209 'property' model-index documents for the
+    fixtures model (sf_dir unused: the docs derive from the SCHEMA).
+    Oracle: pinned VALUES literal generated from the same YAML (the
+    uuid5_synthesis precedent — verifies the Spark-side doc construction
+    end-to-end)."""
+    from .plans.export import model_index_docs
+    from .repos import load_repos_model
+
+    return model_index_docs(spark, load_repos_model(), "property").orderBy(
+        "node", "property"
+    )
+
+
+def _model_property_docs_sql() -> str:
+    from .repos import load_repos_model
+
+    model = load_repos_model()
+    rows = []
+    for nt in sorted(model.nodes):
+        for pn in sorted(model.props_of(nt)):
+            p = model.props_of(nt)[pn]
+            ptype = "Enum" if p.enum else p.type
+            req = "TRUE" if p.required else "FALSE"
+            rows.append(
+                f"('property', '{nt}', '{nt}', '{pn}', '{pn}', '{pn}', '', "
+                f"{req}, '{ptype}')"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t("
+        "type, node, node_name, property, property_name, property_kw, "
+        "property_description, property_required, property_type) "
+        "ORDER BY node, property"
+    )
+
+
+QUERIES["model_property_docs"] = model_property_docs
+ORACLES["model_property_docs"] = _model_property_docs_sql()
