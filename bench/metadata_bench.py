@@ -47,6 +47,8 @@ def run(n_batches: int = 1000, n_buckets: int = 16) -> dict:
 
         times = []
         bytes_written = []
+        seen_manifests: dict = {}
+        prev_seg_bytes = 0
         for i in range(1, n_batches + 1):
             entries = [
                 {
@@ -73,7 +75,28 @@ def run(n_batches: int = 1000, n_buckets: int = 16) -> dict:
             snap_bytes = os.path.getsize(
                 os.path.join(lake.log_dir, f"v{v:012d}.json")
             )
-            bytes_written.append(snap_bytes + os.path.getsize(ledger.head_path))
+            # count EVERY byte the commit wrote: snapshot + head + the new
+            # manifest files (incl. tiered-merge rewrites) + segment line —
+            # excluding manifests would under-measure the real write cost
+            manifests_now = {
+                f: os.path.getsize(os.path.join(lake.manifest_dir, f))
+                for f in os.listdir(lake.manifest_dir)
+            }
+            new_manifest_bytes = sum(
+                sz for f, sz in manifests_now.items() if f not in seen_manifests
+            )
+            seen_manifests.update(manifests_now)
+            seg_bytes = sum(
+                os.path.getsize(os.path.join(ledger.seg_dir, f))
+                for f in os.listdir(ledger.seg_dir)
+            )
+            bytes_written.append(
+                snap_bytes
+                + os.path.getsize(ledger.head_path)
+                + new_manifest_bytes
+                + (seg_bytes - prev_seg_bytes)
+            )
+            prev_seg_bytes = seg_bytes
 
         k = max(1, n_batches // 10)
         first_t = sum(times[:k]) / k

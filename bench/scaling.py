@@ -188,8 +188,18 @@ Raw: low={json.dumps(lo)} high={json.dumps(hi)}
 hw={json.dumps({k: round(v, 1) for k, v in hw.items()})}
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(target):
+        # later rounds append re-runs instead of clobbering the recorded
+        # history (round-3 sections live in this file too)
+        section = "\n## Scaling re-run (HEAD, appended)\n\n" + md.split(
+            "\n", 1
+        )[1]
+        with open(target, "a") as fh:
+            fh.write(section)
+    else:
+        with open(target, "w") as fh:
+            fh.write(md)
     print(md)
 
 

@@ -57,9 +57,10 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (
-        _norm(F.col("_qv")) * _norm(F.col("_cv"))
-    )
+    sim = F.try_divide(
+        _dot(F.col("_qv"), F.col("_cv")),
+        _norm(F.col("_qv")) * _norm(F.col("_cv")),
+    )  # zero-norm vectors -> NULL sim (ranked last), not an ANSI error
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -163,10 +164,11 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 16,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: WTA-bucket-join candidates, exact rerank.
 
@@ -188,7 +190,22 @@ def lsh_topk(
        4      16    0.93     0.99 at ~2x candidate volume.  Asserted
        4      32    0.99     ≥0.8 in tests/test_lsh_recall.py.
     ====== ======= ========
+
+    **Plane count must grow with the corpus** (self-review finding): with
+    p planes a table has only 2^p buckets, so past ~2^p × max_bucket_size
+    corpus rows EVERY bucket trips the discriminativeness cap and the
+    candidate set collapses to zero.  Pass ``n_planes=None`` to size it
+    from the corpus: p = max(4, ceil(log2(n / target))) targeting
+    ~max_bucket_size/4 rows per bucket — at 100 TB scale that is ~30
+    planes, keeping per-bucket candidate work constant while recall is
+    bought back with ``n_tables``.
     """
+    if n_planes is None:
+        import math
+
+        n = corpus_count if corpus_count is not None else corpus.count()
+        target = max(1, max_bucket_size // 4)
+        n_planes = max(4, math.ceil(math.log2(max(2, n) / target)) + 2)
     cb = _cap_buckets(
         _tabled_buckets(
             corpus, "neighbor_id", id_col, vec_col, dim, n_planes, n_tables, seed
@@ -201,9 +218,14 @@ def lsh_topk(
     cand = cb.join(qb, ["table_id", "bucket"]).select(
         "query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v"
     ).dropDuplicates(["query_id", "neighbor_id"])
+    # try_divide: a zero-norm vector (all-zero embedding — real corpora
+    # contain them) must yield NULL sim (ranked last), not an ANSI
+    # divide-by-zero task failure
     sim = F.round(
-        _dot(F.col("_query_id_v"), F.col("_neighbor_id_v"))
-        / (_norm(F.col("_query_id_v")) * _norm(F.col("_neighbor_id_v"))),
+        F.try_divide(
+            _dot(F.col("_query_id_v"), F.col("_neighbor_id_v")),
+            _norm(F.col("_query_id_v")) * _norm(F.col("_neighbor_id_v")),
+        ),
         6,
     )
     scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
@@ -253,7 +275,8 @@ def embedding_cosine_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = _dot(F.col("_id_a_v"), F.col("_id_b_v")) / (
+    sim = F.try_divide(
+        _dot(F.col("_id_a_v"), F.col("_id_b_v")),
         _norm(F.col("_id_a_v")) * _norm(F.col("_id_b_v"))
     )
     return (

@@ -160,6 +160,7 @@ def export_model_index(
     """``load_model`` (es_loader.py:160-166): write the schema-derived docs
     in the same ``_bulk`` NDJSON wire shape as the data indexes."""
     df = model_index_docs(spark, model, subtype).coalesce(1)
+    n = df.count()  # metadata-sized (driver-built rows): no re-read needed
     if bulk_format:
         action = F.to_json(
             F.struct(F.struct(F.lit(index_name).alias("_index")).alias("index"))
@@ -168,9 +169,9 @@ def export_model_index(
         df.select(F.concat(action, F.lit("\n"), doc).alias("value")).write.mode(
             "overwrite"
         ).text(out_dir)
-        return spark.read.text(out_dir).count() // 2
-    df.write.mode("overwrite").json(out_dir)
-    return spark.read.json(out_dir).count()
+    else:
+        df.write.mode("overwrite").json(out_dir)
+    return n
 
 
 def about_page_docs(spark: SparkSession, about_file: str) -> DataFrame:

@@ -243,12 +243,16 @@ class GraphLoader:
         return res
 
     @staticmethod
-    def _with_sig(df: DataFrame) -> DataFrame:
+    def _with_sig(df: DataFrame, exclude: tuple = ()) -> DataFrame:
         """Deterministic equal-seq tiebreaker: md5 over every payload column
         (maps/arrays via to_json).  Same content -> same rank under any
-        partitioning; conflicting content -> a deterministic winner."""
+        partitioning; conflicting content -> a deterministic winner.
+        ``exclude``: staging-internal columns (e.g. _file_ord) that must
+        not perturb the content hash."""
         parts = []
         for f in df.schema.fields:
+            if f.name in exclude:
+                continue
             c = F.col(f.name)
             if isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType)):
                 c = F.to_json(c)
@@ -273,14 +277,22 @@ class GraphLoader:
         batching (round-2 VERDICT flaw #3).
         """
         by_type: dict[str, list[DataFrame]] = {}
+        ords_by_type: dict[str, list[int]] = {}
         order: list[str] = []
-        for node_type, path in files:
+        for ord_, (node_type, path) in enumerate(files):
             raw = tsv.read_tsv(self.spark, path)
             if node_type not in by_type:
                 order.append(node_type)
+            # _file_ord preserves the reference's SEQUENTIAL file semantics
+            # inside the per-type union: a later file's row must beat an
+            # earlier file's row for the same id (data_loader.py loads
+            # files one by one; LWW order below is (_seq per file, _sig))
             by_type.setdefault(node_type, []).append(
-                tsv.prepare_nodes(raw, node_type, self.model)
+                tsv.prepare_nodes(raw, node_type, self.model).withColumn(
+                    "_file_ord", F.lit(ord_)
+                )
             )
+            ords_by_type.setdefault(node_type, []).append(ord_)
         prepared: list[tuple[str, DataFrame]] = []
         for node_type in order:
             preps = by_type[node_type]
@@ -292,29 +304,45 @@ class GraphLoader:
 
         metrics: dict = {}
         dup_conflicts = 0
-        # stage 1: nodes
+        # stage 1: nodes — ONE commit per type, but each FILE keeps its own
+        # _seq so a later file's rows win LWW over an earlier file's (the
+        # reference's sequential-load order); _sig only ever breaks ties
+        # WITHIN a file, where conflicting content is a surfaced V5 dup.
         for node_type, prep in prepared:
             node_df = tsv.node_projection(prep, self.model).drop("type")
             # V5 (data_loader.py:660-692): same id + same props signature =
-            # benign duplicate; differing signatures = surfaced conflict
-            # (the LWW pick below stays deterministic via _sig either way)
+            # benign duplicate; differing signatures = surfaced conflict.
+            # Scoped PER FILE (_file_ord in the grouping): the same id in a
+            # LATER file is a legitimate update, not a conflict.
             id_field = self.model.id_field(node_type)
             if id_field in node_df.columns:
                 dup_conflicts += duplicate_id_errors(
                     node_df.withColumn("_row", F.lit(0)),
-                    [id_field],
+                    ["_file_ord", id_field],
                     props_signature_expr(
-                        [c for c in node_df.columns],
+                        [c for c in node_df.columns if c != "_file_ord"],
                         self.model.rel_prop_delimiter,
                     ),
                     row_id_col="_row",
                 ).count()
-            staged_nodes = self._with_sig(node_df)
-            lake = self.node_lake(node_type, staged_nodes.schema)
-            self._evolve_for(lake, staged_nodes)
-            seq = self._next_seq()
-            staged = staged_nodes.withColumn("_seq", F.lit(seq)).withColumn(
-                "_op", F.lit(mode if mode != "delete" else "upsert")
+            per_file_seq = {o: self._next_seq() for o in ords_by_type[node_type]}
+            seq_expr = F.lit(None).cast("long")
+            for ord_, s in per_file_seq.items():
+                seq_expr = F.when(
+                    F.col("_file_ord") == ord_, F.lit(s)
+                ).otherwise(seq_expr)
+            staged_nodes = self._with_sig(node_df, exclude=("_file_ord",))
+            lake = self.node_lake(
+                node_type, staged_nodes.drop("_file_ord").schema
+            )
+            self._evolve_for(lake, staged_nodes.drop("_file_ord"))
+            seq = max(per_file_seq.values())
+            staged = (
+                staged_nodes.withColumn("_seq", seq_expr)
+                .drop("_file_ord")
+                .withColumn(
+                    "_op", F.lit(mode if mode != "delete" else "upsert")
+                )
             )
             res = self._merge(lake, staged, batch_id=f"{node_type}-{seq}", seq=seq)
             m = metrics.setdefault(node_type, {"created": 0, "updated": 0})
@@ -338,7 +366,9 @@ class GraphLoader:
                 )
             ).count()
             conflicts_total += conflicts
-            rels_created += self._stage_edges(resolved, node_type)
+            rels_created += self._stage_edges(
+                resolved, node_type, ords=ords_by_type[node_type]
+            )
         metrics["relationships_created"] = rels_created
         metrics["missing_parents"] = missing_total
         metrics["one_to_one_conflicts"] = conflicts_total
@@ -357,7 +387,9 @@ class GraphLoader:
                 # not the accumulated table — per-load plugin work must stay
                 # proportional to the load (plugins that need history join
                 # through context['loader'])
-                loaded = tsv.node_projection(prep, self.model).drop("type")
+                loaded = tsv.node_projection(prep, self.model).drop(
+                    "type", "_file_ord"
+                )
                 derivations = self.registry.run(
                     self.spark,
                     EVENT_NODE_LOADED,
@@ -422,17 +454,23 @@ class GraphLoader:
             )
         return out
 
-    def _stage_edges(self, resolved: DataFrame, origin: str) -> int:
+    def _stage_edges(
+        self, resolved: DataFrame, origin: str, ords: list[int] | None = None
+    ) -> int:
         """J4+J5: multiplicity-aware edge upsert into the per-pair-keyed lake.
 
         many_to_one / one_to_one rel types keep ONE parent per (child, rel):
-        the batch winner is the max parent_uuid (deterministic under any
-        partitioning; the reference's winner is file order, which a set
-        engine must replace with a total order), and every CURRENT live edge
-        of the same (child, rel) with a different parent is tombstoned —
-        the reference's remove_old_relationship (data_loader.py:1076-1085).
-        many_to_many keeps every pair (icdc_schema.py:236).
+        the batch winner is the LAST input file's pointer (``_file_ord`` —
+        the reference's sequential file order, data_loader.py loads files
+        one by one), ties within a file broken by max parent_uuid, and
+        every CURRENT live edge of the same (child, rel) with a different
+        parent is tombstoned — the reference's remove_old_relationship
+        (data_loader.py:1076-1085).  many_to_many keeps every pair
+        (icdc_schema.py:236); per-pair rel_props also resolve by file order
+        (each file's rows carry that file's _seq into the merge LWW).
         """
+        if "_file_ord" not in resolved.columns:
+            resolved = resolved.withColumn("_file_ord", F.lit(0))
         # multiplicity is PER END (icdc_schema.py Mul override per Ends
         # entry), not per relationship name: the reference resolves the
         # multiplier per (src, dest) pair (icdc_schema.py:186-195,
@@ -462,15 +500,19 @@ class GraphLoader:
         single = resolved.filter(~is_m2m)
         multi = resolved.filter(is_m2m)
 
-        # batch-local winner per (child, rel) for single-parent rels
+        # batch-local winner per (child, rel) for single-parent rels:
+        # later FILE first (reference's sequential order), then within a
+        # file same parent twice with different rel props ties on
+        # parent_uuid alone — break on the props json too
         picked = (
             single.groupBy("child_uuid", "rel_type")
             .agg(
                 F.max_by(
-                    F.struct("parent_type", "parent_uuid", "rel_props"),
-                    # same parent twice with different rel props ties on
-                    # parent_uuid alone — break on the props json too
                     F.struct(
+                        "parent_type", "parent_uuid", "rel_props", "_file_ord"
+                    ),
+                    F.struct(
+                        F.col("_file_ord"),
                         F.col("parent_uuid"),
                         F.coalesce(F.to_json(F.col("rel_props")), F.lit("")),
                     ),
@@ -479,7 +521,8 @@ class GraphLoader:
             .select("child_uuid", "rel_type", "_w.*")
         )
         staged_edges = multi.select(
-            "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
+            "child_uuid", "rel_type", "parent_type", "parent_uuid",
+            "rel_props", "_file_ord",
         ).unionByName(picked)
 
         # re-parent tombstones: current live pairs displaced by the batch.
@@ -517,12 +560,30 @@ class GraphLoader:
             .drop("_new_parent")
         )
 
-        seq = self._next_seq()
-        upserts = self._with_sig(staged_edges).withColumn(
-            "_op", F.lit("upsert")
+        # one seq PER SOURCE FILE so the merge LWW resolves cross-file
+        # duplicates of one (child, rel, parent) pair by file order; the
+        # re-parent tombstones ride at the batch's max seq (they target
+        # pairs displaced by the batch winner, whose prior upserts are
+        # strictly older)
+        per_file_seq = {o: self._next_seq() for o in sorted(set(ords or [0]))}
+        seq = max(per_file_seq.values())
+        seq_expr = F.lit(seq)
+        for ord_, s in per_file_seq.items():
+            seq_expr = F.when(F.col("_file_ord") == ord_, F.lit(s)).otherwise(
+                seq_expr
+            )
+        upserts = (
+            self._with_sig(staged_edges, exclude=("_file_ord",))
+            .withColumn("_op", F.lit("upsert"))
+            .withColumn("_seq", seq_expr.cast("long"))
+            .drop("_file_ord")
         )
-        deletes = self._with_sig(displaced).withColumn("_op", F.lit("delete"))
-        staged = upserts.unionByName(deletes).withColumn("_seq", F.lit(seq))
+        deletes = (
+            self._with_sig(displaced)
+            .withColumn("_op", F.lit("delete"))
+            .withColumn("_seq", F.lit(seq).cast("long"))
+        )
+        staged = upserts.unionByName(deletes)
         res = self._merge(lake, staged, batch_id=f"edges-{origin}-{seq}", seq=seq)
         resolved.unpersist()
         return res["metrics"].get("rows_inserted", 0)
@@ -595,7 +656,8 @@ class GraphLoader:
             missing += resolved.filter(F.col("parent_uuid").isNull()).count()
             parts.append(
                 resolved.filter(F.col("parent_uuid").isNotNull()).select(
-                    "child_uuid", "rel_type", "parent_type", "parent_uuid", "rel_props"
+                    "child_uuid", "rel_type", "parent_type", "parent_uuid",
+                    "rel_props", "_file_ord",
                 )
             )
         if not parts:

@@ -228,15 +228,25 @@ class LakeTable:
             prev_manifests = {}
         out: dict[str, list[str]] = {}
         for bucket, entries in new_by_bucket.items():
-            new_paths = {e["path"] for e in entries}
             prev_list = prev_manifests.get(bucket) or []
-            prev_paths = {
-                e["path"] for mp in prev_list for e in self._load_manifest(mp)
+            # compare full ENTRIES, not just paths: a commit that edits an
+            # entry's stats/rows/role in place must not silently reuse the
+            # old manifest and drop the correction
+            prev_entries = {
+                e["path"]: e
+                for mp in prev_list
+                for e in self._load_manifest(mp)
             }
-            if new_paths == prev_paths:
+            unchanged = {
+                e["path"]
+                for e in entries
+                if prev_entries.get(e["path"]) == e
+            }
+            new_paths = {e["path"] for e in entries}
+            if new_paths == set(prev_entries) == unchanged:
                 out[bucket] = list(prev_list)
-            elif prev_list and prev_paths <= new_paths:
-                added = [e for e in entries if e["path"] not in prev_paths]
+            elif prev_list and set(prev_entries) <= unchanged:
+                added = [e for e in entries if e["path"] not in prev_entries]
                 out[bucket] = self._tiered_merge(
                     list(prev_list) + [self._write_manifest(added)]
                 )

@@ -201,6 +201,11 @@ def extract_edges(
             ),
             lambda x: x != "",
         )
+        # _file_ord (when staged by GraphLoader): which input file the edge
+        # came from — later files re-parent earlier ones deterministically
+        file_ord = (
+            F.col("_file_ord") if "_file_ord" in df.columns else F.lit(0)
+        )
         parts.append(
             df.filter(F.col(f"`{pp}`").isNotNull())
             .select(
@@ -210,6 +215,7 @@ def extract_edges(
                 F.lit(field).alias("parent_id_field"),
                 F.explode(values).alias("parent_id"),
                 rel_props.alias("rel_props"),
+                file_ord.cast("int").alias("_file_ord"),
             )
         )
     if not parts:
@@ -217,7 +223,7 @@ def extract_edges(
             [],
             "child_uuid string, rel_type string, parent_type string,"
             " parent_id_field string, parent_id string,"
-            " rel_props map<string,string>",
+            " rel_props map<string,string>, _file_ord int",
         )
     out = parts[0]
     for p in parts[1:]:

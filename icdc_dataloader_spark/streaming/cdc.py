@@ -300,33 +300,48 @@ class CDCPipeline:
         """
         if self.late_horizon is None:
             return None
+        pending = [m for m in self._pending_mins.values() if m is not None]
+        if not pending:
+            # only run() maintains the pending-batch bound; a direct
+            # apply_batch() caller may deliver batches in any order, so
+            # without that bound GC could drop a tombstone an upcoming
+            # lower-seq batch still needs — no info, no GC
+            return None
         lw = self.ledger.low_water()
         if not lw:
             return None
-        wm = min(lw.values()) - self.late_horizon
-        pending = [m for m in self._pending_mins.values() if m is not None]
-        if pending:
-            wm = min(wm, min(pending))
-        return wm
+        return min(min(lw.values()) - self.late_horizon, min(pending))
+
+    @staticmethod
+    def _partition_files(events: DataFrame, batch_col: str) -> dict:
+        """{batch_id: [local file paths]} from a batch-partitioned binlog's
+        directory layout (driver-side metadata, no job).  Hive partition
+        dirs percent-escape special chars (':', ' ', '%') — ids are
+        unquoted so callers compare real values.  Empty dict when the
+        source is not partitioned by ``batch_col``.  Single home for this
+        parsing: the drain listing and the watermark footer pass must
+        never disagree on which batches exist."""
+        import re as _re
+        from urllib.parse import unquote
+
+        by_bid: dict[str, list[str]] = {}
+        for f in events.inputFiles():
+            m = _re.search(rf"/{_re.escape(batch_col)}=([^/]+)/", f)
+            if m:
+                local = f[len("file://"):] if f.startswith("file://") else f
+                by_bid.setdefault(unquote(m.group(1)), []).append(local)
+        return by_bid
 
     def _pending_min_seqs(self, events: DataFrame, batch_col: str,
                           pending: list) -> dict:
         """Min event seq per pending batch — from parquet footers when the
         binlog is batch-partitioned (driver-side, no job), else one
         column-pruned aggregation."""
-        import re as _re
-        from urllib.parse import unquote
-
         try:
             import pyarrow.parquet as pq
             from concurrent.futures import ThreadPoolExecutor
 
-            by_bid: dict[str, list[str]] = {}
-            for f in events.inputFiles():
-                m = _re.search(rf"/{_re.escape(batch_col)}=([^/]+)/", f)
-                if m:
-                    local = f[7:] if f.startswith("file://") else f
-                    by_bid.setdefault(unquote(m.group(1)), []).append(local)
+            by_bid = self._partition_files(events, batch_col)
             if set(map(str, pending)) <= set(by_bid):
 
                 def batch_min(bid):
@@ -366,31 +381,19 @@ class CDCPipeline:
 
     # -- full tail loop ---------------------------------------------------------
 
-    @staticmethod
-    def _list_batch_ids(events: DataFrame, batch_col: str) -> list:
+    @classmethod
+    def _list_batch_ids(cls, events: DataFrame, batch_col: str) -> list:
         """Pending batch ids, WITHOUT scanning the binlog when avoidable.
 
-        A batch-partitioned binlog encodes the ids in its directory layout —
-        read them from the file listing (driver-side metadata, no job).
-        This (a) removes a full-binlog scan per drain and (b) keeps the
-        listing alive when one batch contains a corrupt file: the poisoned
-        batch then fails in apply and is parked by the retry-TTL instead of
-        killing the whole drain.  Non-partitioned sources fall back to a
-        distinct scan.
+        A batch-partitioned binlog encodes the ids in its directory layout
+        (see :meth:`_partition_files`).  This (a) removes a full-binlog
+        scan per drain and (b) keeps the listing alive when one batch
+        contains a corrupt file: the poisoned batch then fails in apply
+        and is parked by the retry-TTL instead of killing the whole drain.
+        Non-partitioned sources fall back to a distinct scan.
         """
-        import re as _re
-        from urllib.parse import unquote
-
         try:
-            seen = set()
-            for f in events.inputFiles():
-                m = _re.search(rf"/{_re.escape(batch_col)}=([^/]+)/", f)
-                if m:
-                    # hive partition dirs percent-escape special chars
-                    # (':', ' ', '%'); the FILTER below compares the real
-                    # value — an escaped id would match zero rows and
-                    # commit an empty batch under the wrong id
-                    seen.add(unquote(m.group(1)))
+            seen = set(cls._partition_files(events, batch_col))
             if seen:
                 return sorted(
                     seen,

@@ -143,7 +143,7 @@ class CheckpointLedger:
             if known is not None and seg != segs[-1]:
                 continue  # rotated + fully recorded: immutable
             known = known or 0
-            lines = self._read_segment(seg)
+            lines = self._read_segment(seg, repair=True)
             for line in lines[known:]:
                 self._fold(head, line)
                 dirty = True
@@ -153,17 +153,29 @@ class CheckpointLedger:
         if dirty:
             self._save_head(head)
 
-    def _read_segment(self, seg: str) -> list[dict]:
+    def _read_segment(self, seg: str, repair: bool = False) -> list[dict]:
+        """Parse a segment's records.  ``repair=True`` (heal path) also
+        TRUNCATES a torn tail line off the file — otherwise the next
+        append would concatenate onto the partial bytes and the merged
+        garbage line would hide every later record from recovery."""
         out = []
-        with open(os.path.join(self.seg_dir, seg)) as fh:
-            for raw in fh:
-                raw = raw.strip()
-                if not raw:
-                    continue
+        path = os.path.join(self.seg_dir, seg)
+        clean = 0  # bytes up to and including the last good newline
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for raw_line in data.splitlines(keepends=True):
+            if not raw_line.endswith(b"\n"):
+                break  # no newline = incomplete write: torn, even if it parses
+            raw = raw_line.strip()
+            if raw:
                 try:
                     out.append(json.loads(raw))
                 except json.JSONDecodeError:
                     break  # torn tail from a crash mid-append
+            clean += len(raw_line)
+        if repair and clean < len(data):
+            with open(path, "r+b") as fh:
+                fh.truncate(clean)
         return out
 
     def _current_segment(self, head: dict) -> str:

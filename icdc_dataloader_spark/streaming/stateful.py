@@ -64,6 +64,11 @@ def _burst_fn(gap_seconds: int, use_timeout: bool):
                 # span — the burst must only ever widen (a moved-back
                 # `last` emitted end<start and split real bursts)
                 start, last, n = min(start, t), max(last, t), n + 1
+        if start is None:
+            # batch carried only null timestamps for a fresh key: storing
+            # (None, None, 0) would register a timeout that later emits a
+            # garbage NaT/0-event burst row — leave no state behind
+            return
         state.update((start, last, n))
         if use_timeout:
             state.setTimeoutDuration(gap_seconds * 1000)

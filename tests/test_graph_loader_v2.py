@@ -222,3 +222,45 @@ def test_same_type_files_with_different_headers_union(spark, tmp_path):
     rows = {r["file_key"]: r for r in gl.nodes("repo_file").collect()}
     assert rows["r2:b"]["size_kb"] == 12.0 or rows["r2:b"]["size_kb"] == "12"
     assert rows["r1:a"]["size_kb"] is None
+
+
+def test_later_file_wins_within_one_load(spark, tmp_path):
+    """Round-3 self-review fix: files of one type union into ONE commit but
+    keep the reference's SEQUENTIAL order — the later file's row must win
+    for a shared id (and its parent pointer must re-parent), never a
+    content-hash coin flip; cross-file updates are NOT dup conflicts."""
+    model = load_repos_model()
+    owners = _write_tsv(
+        tmp_path / "o.txt", ["type", "owner_id", "owner_name"],
+        [["repo_owner", "o1", "Alice"], ["repo_owner", "o2", "Bob"]],
+    )
+    f1 = _write_tsv(
+        tmp_path / "f1.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:a", "r1", "a", "cOLD", "go", "o1"]],
+    )
+    f2 = _write_tsv(
+        tmp_path / "f2.txt",
+        ["type", "file_key", "repo", "path", "commit", "lang", "repo_owner.owner_id"],
+        [["repo_file", "r1:a", "r1", "a", "cNEW", "python", "o2"]],
+    )
+    gl = GraphLoader(spark, str(tmp_path / "g"), model)
+    m = gl.load_files([("repo_owner", owners), ("repo_file", f1), ("repo_file", f2)])
+    # a later file updating an id is NOT a duplicate-id conflict
+    assert m["duplicate_id_conflicts"] == 0
+    rows = gl.nodes("repo_file").collect()
+    assert len(rows) == 1
+    assert rows[0]["commit"] == "cNEW" and rows[0]["lang"] == "python"
+    # the edge re-parented to the later file's pointer, old pair tombstoned
+    edges = gl.edges().collect()
+    assert len(edges) == 1
+    o2 = gl.nodes("repo_owner").filter("owner_id='o2'").collect()[0]["uuid"]
+    assert edges[0]["parent_uuid"] == o2
+    # ... and still ONE commit per lake
+    assert gl._node_lakes["repo_file"].latest_version() == 1
+    assert gl.edge_lake().latest_version() == 1
+
+    # replay determinism: a fresh root gets the identical winner
+    gl2 = GraphLoader(spark, str(tmp_path / "g2"), model)
+    gl2.load_files([("repo_owner", owners), ("repo_file", f1), ("repo_file", f2)])
+    assert gl2.nodes("repo_file").collect()[0]["commit"] == "cNEW"

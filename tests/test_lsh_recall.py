@@ -50,3 +50,31 @@ def test_recall_improves_with_tables(spark, emb):
     lo = _recall(emb, n_planes=4, n_tables=4)
     hi = _recall(emb, n_planes=4, n_tables=16)
     assert hi > lo  # documented tradeoff direction holds on real data
+
+
+def test_auto_planes_prevents_bucket_collapse(spark):
+    """Self-review fix: with p planes a table has 2^p buckets; past
+    2^p x max_bucket_size corpus rows every bucket trips the cap and the
+    candidate set collapses.  n_planes=None sizes p from the corpus."""
+    n = 5000
+    corpus = (
+        spark.range(n)
+        .selectExpr(
+            "id as vec_id",
+            "transform(sequence(1, 16), "
+            " j -> cast(sin(id * j * 0.7) as float)) as embedding",
+        )
+    ).cache()
+    queries = corpus.filter("vec_id < 10")
+    # fixed 4 planes + tiny cap: every bucket oversized -> zero candidates
+    collapsed = similarity.lsh_topk(
+        corpus, queries, dim=16, k=5, n_planes=4, n_tables=2,
+        max_bucket_size=50,
+    ).count()
+    assert collapsed == 0
+    # auto-sizing keeps buckets under the cap and candidates flowing
+    auto = similarity.lsh_topk(
+        corpus, queries, dim=16, k=5, n_planes=None, n_tables=8,
+        max_bucket_size=50, corpus_count=n,
+    )
+    assert auto.count() >= 10  # every query got neighbors back

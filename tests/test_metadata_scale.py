@@ -244,3 +244,37 @@ def test_ledger_legacy_state_migration(tmp_path):
     # and new records append on top of the migrated history
     led.record(2, 3, {"rows": 3}, _lineage(2))
     assert led.totals() == {"rows": 15}
+
+
+def test_ledger_append_after_torn_tail_not_corrupted(tmp_path):
+    """Self-review fix: a torn tail must be TRUNCATED on heal so the next
+    append starts a clean line — otherwise the merged garbage line hides
+    every later record from recovery."""
+    led = CheckpointLedger(str(tmp_path / "led"))
+    led.record(0, 1, {"n": 1}, _lineage(0))
+    seg = sorted(os.listdir(led.seg_dir))[-1]
+    with open(os.path.join(led.seg_dir, seg), "ab") as fh:
+        fh.write(b'{"torn')  # crash mid-append, no newline
+    led2 = CheckpointLedger(led.root)  # heal truncates the torn bytes
+    led2.record(1, 2, {"n": 1}, _lineage(1))
+    led2.record(2, 3, {"n": 1}, _lineage(2))
+    # cold reload: every record visible, nothing hidden behind garbage
+    led3 = CheckpointLedger(led.root)
+    assert led3.is_applied(0) and led3.is_applied(1) and led3.is_applied(2)
+    assert led3.totals()["n"] == 3
+    assert led3.batch_record(2)["version"] == 3
+
+
+def test_manifest_entry_metadata_change_is_not_reused(tmp_path):
+    """Self-review fix: carried entries with unchanged paths but changed
+    metadata must produce a fresh manifest, not silently reuse the old."""
+    lake = _mk_lake(tmp_path)
+    snap = lake.snapshot()
+    lake.commit(_fake_entries(lake, 1), snap["files"],
+                operation="append-delta", batch_id=1)
+    files = lake.snapshot()["files"]
+    fixed = [dict(f, rows=999) for f in files]  # in-place stat repair
+    lake.commit([], fixed, operation="repair-stats", batch_id=2)
+    assert all(f["rows"] == 999 for f in lake.snapshot()["files"])
+    lake2 = LakeTable(lake.root)  # cold read sees the repair too
+    assert all(f["rows"] == 999 for f in lake2.snapshot()["files"])

@@ -165,3 +165,37 @@ def test_default_loop_gcs_tombstones_and_keeps_late_lww(spark, tmp_path):
     # ... and the tombstone is now physically gone from the table files
     raw = pipe.lake.read(spark)
     assert raw.filter("_op = 'delete'").count() == 0
+
+
+def test_direct_apply_batch_never_gcs_tombstones(spark, tmp_path):
+    """Self-review fix: tombstone GC needs run()'s pending-batch bound; a
+    direct apply_batch() caller may deliver batches out of order, so the
+    default loop must NOT GC without that information."""
+    import pandas as pd
+
+    pipe = make_pipeline(
+        spark, str(tmp_path / "out"), n_buckets=1, strategy="mor",
+        compact_every=1,
+    )
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.Timestamp("2024-01-01").as_unit("us")
+        return spark.createDataFrame(pdf)
+
+    pipe.apply_batch(batch([
+        dict(seq=100, op="upsert", repo="r1", path="a", commit="c1",
+             lang="python", content="v1"),
+        dict(seq=101, op="delete", repo="r2", path="b", commit=None,
+             lang=None, content=None),
+    ]), "b0")
+    # compaction fired (compact_every=1) but must keep the tombstone
+    raw = pipe.lake.read(spark)
+    assert raw.filter("_op = 'delete'").count() == 1
+    # the out-of-order direct batch with a lower seq still loses
+    pipe.apply_batch(batch([
+        dict(seq=50, op="upsert", repo="r2", path="b", commit="cL",
+             lang="python", content="late"),
+    ]), "b1")
+    state = _state(spark, pipe)
+    assert ("r2", "b") not in state
