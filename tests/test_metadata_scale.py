@@ -278,3 +278,31 @@ def test_manifest_entry_metadata_change_is_not_reused(tmp_path):
     assert all(f["rows"] == 999 for f in lake.snapshot()["files"])
     lake2 = LakeTable(lake.root)  # cold read sees the repair too
     assert all(f["rows"] == 999 for f in lake2.snapshot()["files"])
+
+
+def test_batchidset_property_vs_reference_set():
+    """Property test: BatchIdSet behaves exactly like a plain set of id
+    strings under arbitrary interleavings of adds and membership checks."""
+    from hypothesis import given, settings, strategies as st
+
+    ids = st.one_of(
+        st.integers(min_value=0, max_value=50).map(str),
+        st.integers(min_value=0, max_value=20).map(lambda n: f"edges-{n}"),
+        st.sampled_from(["noNum", "b007", "x-0", "-5", "plugin-case-3"]),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ids, max_size=60))
+    def run(seq):
+        s, ref = BatchIdSet(), set()
+        for bid in seq:
+            assert s.add(bid) == (bid not in ref)
+            ref.add(bid)
+        assert len(s) == len(ref)
+        assert sorted(s) == sorted(ref)
+        rt = BatchIdSet.from_json(json.loads(json.dumps(s.to_json())))
+        assert sorted(rt) == sorted(ref)
+        for probe in ["0", "25", "51", "edges-7", "noNum", "b007", "-5"]:
+            assert (probe in rt) == (probe in ref)
+
+    run()
