@@ -4,10 +4,11 @@ entry(spark)  — flagship: salted-LWW dedup over the events stream (the
                 north-star CDC operator, A7 in SURVEY.md §2.6) at sf0.001.
 queries()     — one entry per implemented operator family from SURVEY.md §2
                 (see icdc_dataloader_spark/queries.py for the mapping).
-oracle_sql()  — matching DuckDB SQL; omitted only for hash-function-based
-                or approximate operators (xxhash64 simhash/minhash/LSH,
-                uuid5) which have no SQL-expressible oracle — those are
-                pinned against pure-Python semantics in tests/ instead.
+oracle_sql()  — matching DuckDB SQL for EVERY query (35/35 since round 3):
+                hash-based/approximate operators run portable-hash modes
+                whose full pipelines are replicated term-for-term in SQL
+                (hash_queries.py); uuid5 and the schema-derived model docs
+                compare against pinned VALUES oracles.
 """
 
 from __future__ import annotations

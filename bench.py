@@ -27,6 +27,7 @@ HEADLINE = [
     "dup_id_check",
     "rel_stats_agg",
     "as_of_join_last_signup",
+    "session_windows",
     "top_k_per_group",
     "exact_dedup_docs",
     "token_count_quality",
