@@ -113,36 +113,46 @@ def discover_files(spark: SparkSession, dataset: str) -> list[tuple[str, str]]:
     return out
 
 
-def _validate_file(spark, cfg, model, node_type, path):
-    """Header + value validation for one file.  Returns (ok, report_df,
-    n_errors, n_warnings)."""
+def _validate_file(spark, cfg, model, node_type, path, report_dir):
+    """Header + value validation for one file; writes the (capped) grouped
+    report while the error relation is cached.  Returns (ok, n_errors,
+    n_warnings)."""
     raw = tsv.read_tsv(spark, path)
     header = validate_header(raw.columns, node_type, model)
     prep = tsv.prepare_nodes(raw, node_type, model).withColumn(
         "_row", F.monotonically_increasing_id()
     )
-    errs = cap_violations(
-        validation_errors(prep, node_type, model, row_id_col="_row"),
-        cfg.max_violations,
+    # the pass/fail gate counts UNCAPPED violations — max_violations bounds
+    # only the persisted REPORT (the reference's display semantics, V8);
+    # gating on the capped relation would let max_violations=0 load
+    # invalid files and underreport true error counts
+    all_errs = validation_errors(
+        prep, node_type, model, row_id_col="_row"
     ).persist()
-    n_err = errs.filter(F.col("severity") == "error").count()
-    n_warn = errs.filter(F.col("severity") != "error").count()
-    header_rows = [
-        (-1, prop, None, reason, "error") for prop, reason in header["errors"]
-    ] + [
-        (-1, prop, None, reason, "warning")
-        for prop, reason in header["warnings"]
-    ]
-    if header_rows:
-        hdr_df = spark.createDataFrame(
-            header_rows,
-            "row_id long, property string, value string, reason string,"
-            " severity string",
-        )
-        errs = errs.unionByName(hdr_df)
-    n_err += sum(1 for _ in header["errors"])
-    n_warn += sum(1 for _ in header["warnings"])
-    return n_err == 0, errs, n_err, n_warn
+    try:
+        n_err = all_errs.filter(F.col("severity") == "error").count()
+        n_warn = all_errs.filter(F.col("severity") != "error").count()
+        errs = cap_violations(all_errs, cfg.max_violations)
+        header_rows = [
+            (-1, prop, None, reason, "error")
+            for prop, reason in header["errors"]
+        ] + [
+            (-1, prop, None, reason, "warning")
+            for prop, reason in header["warnings"]
+        ]
+        if header_rows:
+            hdr_df = spark.createDataFrame(
+                header_rows,
+                "row_id long, property string, value string, reason string,"
+                " severity string",
+            )
+            errs = errs.unionByName(hdr_df)
+        n_err += sum(1 for _ in header["errors"])
+        n_warn += sum(1 for _ in header["warnings"])
+        export_report(errs, report_dir)
+        return n_err == 0, n_err, n_warn
+    finally:
+        all_errs.unpersist()
 
 
 def main(argv=None, spark: SparkSession | None = None) -> dict:
@@ -168,6 +178,9 @@ def main(argv=None, spark: SparkSession | None = None) -> dict:
 
     stats: dict = {"mode": cfg.loading_mode, "files": {}, "skipped": []}
 
+    if cfg.wipe_db and cfg.dry_run:
+        # "validations only" must never destroy data, whatever else is set
+        raise SystemExit("--dry-run and --wipe-db are mutually exclusive")
     if cfg.wipe_db:
         if not cfg.yes:
             raise SystemExit(
@@ -197,11 +210,10 @@ def main(argv=None, spark: SparkSession | None = None) -> dict:
             to_load.append((node_type, path))
             stats["files"][name] = {"type": node_type, "validated": False}
             continue
-        ok, errs, n_err, n_warn = _validate_file(
-            spark, cfg, model, node_type, path
-        )
         report_dir = os.path.join(cfg.temp_folder, f"report-{name}")
-        export_report(errs, report_dir)
+        ok, n_err, n_warn = _validate_file(
+            spark, cfg, model, node_type, path, report_dir
+        )
         stats["files"][name] = {
             "type": node_type,
             "validated": True,

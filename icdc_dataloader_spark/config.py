@@ -31,6 +31,8 @@ _IGNORED_KEYS = {
     "neo4j", "sqs", "indexd", "url", "s3_bucket", "s3_folder",
     "backup_folder", "no_backup", "database_type", "memgraph_snapshot_dir",
     "upload_log_dir", "split_transactions",
+    # consumed only by the reference's prefect wrapper (orchestration host)
+    "no_parents",
 }
 
 
@@ -69,7 +71,13 @@ class LoaderConfig:
                 f'Can NOT open configuration file "{config_file}"!'
             )
         with open(config_file) as fh:
-            raw = yaml.safe_load(fh)["Config"] or {}
+            doc = yaml.safe_load(fh) or {}
+        raw = doc.get("Config") if isinstance(doc, dict) else None
+        if not isinstance(raw, dict):
+            raise ValueError(
+                f'"{config_file}" has no top-level "Config" mapping — is it '
+                "a data-loader configuration file?"
+            )
 
         cfg = cls()
         cfg.dataset = raw.get("dataset")
@@ -125,7 +133,9 @@ class LoaderConfig:
             self.yes = True
         if getattr(args, "verbose", False):
             self.verbose = True
-        if getattr(args, "max_violations", None):
+        if getattr(args, "max_violations", None) is not None:
+            # 0 is a legitimate value (empty report); only absence keeps
+            # the file/default value — same semantics as the YAML channel
             self.max_violations = int(args.max_violations)
         if getattr(args, "temp_folder", None):
             self.temp_folder = args.temp_folder

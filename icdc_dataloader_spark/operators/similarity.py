@@ -195,10 +195,13 @@ def lsh_topk(
     p planes a table has only 2^p buckets, so past ~2^p × max_bucket_size
     corpus rows EVERY bucket trips the discriminativeness cap and the
     candidate set collapses to zero.  Pass ``n_planes=None`` to size it
-    from the corpus: p = max(4, ceil(log2(n / target))) targeting
-    ~max_bucket_size/4 rows per bucket — at 100 TB scale that is ~30
-    planes, keeping per-bucket candidate work constant while recall is
-    bought back with ``n_tables``.
+    from the corpus: p = max(4, ceil(log2(n / (max_bucket_size/4))) + 2),
+    i.e. ~max_bucket_size/16 expected rows per bucket — the extra two
+    planes are margin for skewed (non-uniform) bucket occupancy, so the
+    typical bucket stays well under the cap even when popular buckets run
+    ~10x the mean.  At 100 TB scale that is ~30 planes, keeping
+    per-bucket candidate work constant while recall is bought back with
+    ``n_tables``.
     """
     if n_planes is None:
         import math

@@ -63,6 +63,7 @@ class CDCPipeline:
         retry_ttl: int = 3,
         colocate_deltas: bool = True,
         late_horizon: int | None = 0,
+        assume_ordered: bool = False,
     ):
         """``strategy``:
 
@@ -113,6 +114,12 @@ class CDCPipeline:
         self.retry_ttl = retry_ttl
         self.colocate_deltas = colocate_deltas
         self.late_horizon = late_horizon
+        # ``assume_ordered``: the caller vouches that apply_batch() is fed
+        # batches in source order (a Structured Streaming foreachBatch epoch
+        # sequence qualifies — stream.py sets this), so tombstone GC may use
+        # the late_horizon contract even without run()'s pending-batch map.
+        # Direct out-of-order callers keep the safe default (no GC).
+        self.assume_ordered = assume_ordered
         self._batches_since_compact = 0
         # min event seq of every binlog batch not yet applied, maintained by
         # run(); bounds the tombstone-GC watermark exactly for in-flight data
@@ -301,16 +308,18 @@ class CDCPipeline:
         if self.late_horizon is None:
             return None
         pending = [m for m in self._pending_mins.values() if m is not None]
-        if not pending:
+        if not pending and not self.assume_ordered:
             # only run() maintains the pending-batch bound; a direct
             # apply_batch() caller may deliver batches in any order, so
             # without that bound GC could drop a tombstone an upcoming
-            # lower-seq batch still needs — no info, no GC
+            # lower-seq batch still needs — no info, no GC (the streaming
+            # front-end opts back in via assume_ordered)
             return None
         lw = self.ledger.low_water()
         if not lw:
             return None
-        return min(min(lw.values()) - self.late_horizon, min(pending))
+        wm = min(lw.values()) - self.late_horizon
+        return min(wm, min(pending)) if pending else wm
 
     @staticmethod
     def _partition_files(events: DataFrame, batch_col: str) -> dict:

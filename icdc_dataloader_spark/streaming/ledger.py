@@ -147,21 +147,22 @@ class CheckpointLedger:
             for line in lines[known:]:
                 self._fold(head, line)
                 dirty = True
-            if len(lines) != known:
+            if len(lines) > known:
+                # never LOWER a recorded count: fewer parseable lines than
+                # the head knows means mid-file corruption (see
+                # _read_segment) — shrinking the count would misindex
+                # future appends against the healed history
                 head["segments"][seg] = len(lines)
                 dirty = True
         if dirty:
             self._save_head(head)
 
-    def _read_segment(self, seg: str, repair: bool = False) -> list[dict]:
-        """Parse a segment's records.  ``repair=True`` (heal path) also
-        TRUNCATES a torn tail line off the file — otherwise the next
-        append would concatenate onto the partial bytes and the merged
-        garbage line would hide every later record from recovery."""
+    def _parse_segment(self, seg: str) -> tuple[list[dict], int, int]:
+        """(records, clean_bytes, total_bytes): parse stops at the first
+        line that is unparseable or lacks its trailing newline."""
         out = []
-        path = os.path.join(self.seg_dir, seg)
         clean = 0  # bytes up to and including the last good newline
-        with open(path, "rb") as fh:
+        with open(os.path.join(self.seg_dir, seg), "rb") as fh:
             data = fh.read()
         for raw_line in data.splitlines(keepends=True):
             if not raw_line.endswith(b"\n"):
@@ -171,17 +172,56 @@ class CheckpointLedger:
                 try:
                     out.append(json.loads(raw))
                 except json.JSONDecodeError:
-                    break  # torn tail from a crash mid-append
+                    break  # unparseable: tail-torn or corrupt
             clean += len(raw_line)
-        if repair and clean < len(data):
-            with open(path, "r+b") as fh:
-                fh.truncate(clean)
-        return out
+        return out, clean, len(data)
+
+    def _read_segment(self, seg: str, repair: bool = False) -> list[dict]:
+        """Parse a segment's records.  ``repair=True`` (heal path) also
+        repairs crash artifacts:
+
+        - a torn TAIL fragment (a crash can only tear the last line) is
+          TRUNCATED so the next append starts a clean line — otherwise it
+          would concatenate into a garbage line hiding every later record;
+        - an unparseable line with MORE complete lines after it is
+          mid-file corruption (bit rot), not a crash: committed history is
+          never deleted — the segment is RETIRED (renamed ``*.corrupt``,
+          its head-folded totals survive) so future appends start a fresh
+          segment instead of landing beyond an unreadable region.
+        """
+        lines, clean, total = self._parse_segment(seg)
+        if repair and clean < total:
+            path = os.path.join(self.seg_dir, seg)
+            with open(path, "rb") as fh:
+                fh.seek(clean)
+                remainder = fh.read()
+            if b"\n" in remainder[:-1] or remainder.endswith(b"\n"):
+                import sys
+
+                os.rename(path, path + ".corrupt")
+                print(
+                    f"ledger segment {seg} is corrupt mid-file at byte "
+                    f"{clean}; retired as {seg}.corrupt — head totals are "
+                    "preserved, per-batch detail beyond the damage is "
+                    "gone; the lake's committed_batch_ids remains the "
+                    "commit source of truth",
+                    file=sys.stderr,
+                )
+            else:
+                with open(path, "r+b") as fh:
+                    fh.truncate(clean)
+        return lines
 
     def _current_segment(self, head: dict) -> str:
         segs = sorted(head["segments"]) or ["seg-000000.jsonl"]
         last = segs[-1]
-        if head["segments"].get(last, 0) >= SEGMENT_ROTATE:
+        rotated = head["segments"].get(last, 0) >= SEGMENT_ROTATE
+        # a retired (renamed *.corrupt) segment keeps its head entry but
+        # must never be recreated under its old name — rotate past it
+        missing = bool(head["segments"]) and not os.path.exists(
+            os.path.join(self.seg_dir, last)
+        )
+        if rotated or missing:
             last = f"seg-{len(segs):06d}.jsonl"
         return last
 

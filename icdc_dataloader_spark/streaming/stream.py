@@ -38,6 +38,10 @@ def run_file_stream(
     ``drain=True`` processes everything currently available and stops
     (test/bench mode); otherwise returns the running StreamingQuery.
     """
+    # foreachBatch delivers epochs in order (single checkpointed query),
+    # which is exactly the ordered-delivery contract tombstone GC needs
+    # when no pending-batch map exists (cdc._gc_watermark)
+    pipeline.assume_ordered = True
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     reader = (

@@ -184,3 +184,39 @@ def test_delete_mode_cascades(spark, tmp_path):
     gl = GraphLoader(spark, groot, load_repos_model())
     assert gl.nodes("repo_owner").count() == 1
     assert gl.nodes("repo_file").count() == 1
+
+
+def test_dry_run_refuses_wipe(spark, tmp_path):
+    ds = _dataset(tmp_path)
+    cfgfile = _config_yaml(tmp_path, ds, str(tmp_path / "graph"))
+    cli.main([cfgfile], spark=spark)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main([cfgfile, "--dry-run", "--wipe-db", "-y"], spark=spark)
+    # graph untouched
+    assert os.path.isdir(os.path.join(str(tmp_path / "graph"), "nodes_repo_file"))
+
+
+def test_max_violations_caps_report_not_gate(spark, tmp_path):
+    """max_violations bounds the persisted report; the load gate counts
+    UNCAPPED errors (max_violations: 0 must not load invalid files)."""
+    ds = _dataset(tmp_path)
+    _write_tsv(
+        os.path.join(ds, "03_bad.txt"),
+        ["type", "file_key", "repo", "path", "commit", "lang"],
+        [["repo_file", f"rB{i}:x", f"rB{i}", "x", "c", "NOT_A_LANG"]
+         for i in range(5)],
+    )
+    cfgfile = _config_yaml(tmp_path, ds, str(tmp_path / "graph"))
+    stats = cli.main([cfgfile, "-M", "0"], spark=spark)
+    assert stats["files"]["03_bad.txt"]["errors"] == 5  # uncapped count
+    assert any(s["file"] == "03_bad.txt" for s in stats["skipped"])
+
+
+def test_config_without_config_key_fails_cleanly(tmp_path):
+    bad = tmp_path / "bad.yml"
+    bad.write_text("")  # empty file
+    with pytest.raises(ValueError, match="Config"):
+        LoaderConfig.from_yaml(str(bad))
+    bad.write_text("NotConfig:\n  x: 1\n")
+    with pytest.raises(ValueError, match="Config"):
+        LoaderConfig.from_yaml(str(bad))

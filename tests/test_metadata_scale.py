@@ -306,3 +306,30 @@ def test_batchidset_property_vs_reference_set():
             assert (probe in rt) == (probe in ref)
 
     run()
+
+
+def test_ledger_midfile_corruption_retires_segment_keeps_history(tmp_path):
+    """Self-review fix: an unparseable line with complete lines AFTER it is
+    bit rot, not a crash — committed history must not be truncated; the
+    segment retires (*.corrupt) and appends continue in a fresh one."""
+    led = CheckpointLedger(str(tmp_path / "led"))
+    for i in range(4):
+        led.record(i, i + 1, {"n": 1}, _lineage(i))
+    seg = sorted(os.listdir(led.seg_dir))[-1]
+    p = os.path.join(led.seg_dir, seg)
+    lines = open(p, "rb").read().splitlines(keepends=True)
+    lines[1] = b'{"rotted\n'  # corrupt record 1, records 2-3 intact after it
+    open(p, "wb").write(b"".join(lines))
+
+    led2 = CheckpointLedger(led.root)
+    # head history (folded before the corruption) fully preserved
+    assert led2.totals()["n"] == 4
+    assert all(led2.is_applied(i) for i in range(4))
+    # the damaged file was retired, not truncated
+    assert os.path.exists(p + ".corrupt")
+    assert not os.path.exists(p)
+    # new records land in a fresh segment and survive reloads
+    led2.record(4, 5, {"n": 1}, _lineage(4))
+    led3 = CheckpointLedger(led.root)
+    assert led3.totals()["n"] == 5 and led3.is_applied(4)
+    assert led3.batch_record(4)["version"] == 5
