@@ -1029,3 +1029,83 @@ def _model_property_docs_sql() -> str:
 
 QUERIES["model_property_docs"] = model_property_docs
 ORACLES["model_property_docs"] = _model_property_docs_sql()
+
+
+def sbg_manifest_chain(spark, sf_dir):
+    """Deep-chain manifest export — the ctdc_sbg_manifect.py:16-107 shape
+    over TPC-H tables: a 4-hop chain join (region <- nation <- customer <-
+    orders) with PIVOTED OPTIONAL ARMS (the Cypher's four OPTIONAL MATCH
+    ihc_assay_report lookups per gene become per-returnflag lineitem
+    aggregates left-joined per order, 'UNKNOWN'-coalesced), a computed
+    label column (the experimental-strategy CASE), and a synthesized GUID.
+    One manifest row per order, ordered like the reference's CSV.
+
+    Plan shape: the chain joins are broadcastable dims (region/nation) +
+    key-partitioned joins; the optional arms come from ONE grouped pass
+    over lineitem (conditional aggregation), not one join per arm — the
+    reference pays four OPTIONAL MATCH traversals per row."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+
+    # one pass computes every "optional arm": per-flag line counts
+    arms = li.groupBy(F.col("l_orderkey").alias("o_arm_key")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1)).alias("_r"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1)).alias("_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1)).alias("_n"),
+    )
+    chain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(arms, orders.o_orderkey == F.col("o_arm_key"), "left")
+    )
+    strategy = (
+        F.when(F.col("o_orderpriority").startswith("1"), "URGENT: EXPEDITE")
+        .when(F.col("o_orderpriority").startswith("2"), "HIGH: EXPEDITE")
+        .otherwise("ROUTINE")
+    )
+    return chain.select(
+        F.col("r_name").alias("trial_id"),
+        F.col("n_name").alias("arm_id"),
+        F.col("c_custkey").alias("case_id"),
+        F.col("c_mktsegment").alias("category"),
+        F.col("o_orderkey").alias("specimen_id"),
+        F.coalesce(F.col("_r").cast("string"), F.lit("UNKNOWN")).alias("r_status"),
+        F.coalesce(F.col("_a").cast("string"), F.lit("UNKNOWN")).alias("a_status"),
+        F.coalesce(F.col("_n").cast("string"), F.lit("UNKNOWN")).alias("n_status"),
+        strategy.alias("experimental_strategy"),
+        F.concat(F.lit("dg.4DFC/"), F.col("o_orderkey")).alias("guid"),
+    ).orderBy("trial_id", "arm_id", "case_id", "specimen_id")
+
+
+SBG_MANIFEST_SQL = """
+WITH arms AS (
+  SELECT l_orderkey AS o_arm_key,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 END) AS _r,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 END) AS _a,
+         SUM(CASE WHEN l_returnflag = 'N' THEN 1 END) AS _n
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT r_name AS trial_id, n_name AS arm_id, c_custkey AS case_id,
+       c_mktsegment AS category, o_orderkey AS specimen_id,
+       COALESCE(CAST(_r AS VARCHAR), 'UNKNOWN') AS r_status,
+       COALESCE(CAST(_a AS VARCHAR), 'UNKNOWN') AS a_status,
+       COALESCE(CAST(_n AS VARCHAR), 'UNKNOWN') AS n_status,
+       CASE WHEN o_orderpriority LIKE '1%' THEN 'URGENT: EXPEDITE'
+            WHEN o_orderpriority LIKE '2%' THEN 'HIGH: EXPEDITE'
+            ELSE 'ROUTINE' END AS experimental_strategy,
+       'dg.4DFC/' || CAST(o_orderkey AS VARCHAR) AS guid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN arms ON o_orderkey = o_arm_key
+WHERE o_orderkey % 20 = 0
+ORDER BY trial_id, arm_id, case_id, specimen_id
+"""
+
+QUERIES["sbg_manifest_chain"] = sbg_manifest_chain
+ORACLES["sbg_manifest_chain"] = SBG_MANIFEST_SQL
