@@ -4,7 +4,8 @@ entry(spark)  — flagship: salted-LWW dedup over the events stream (the
                 north-star CDC operator, A7 in SURVEY.md §2.6) at sf0.001.
 queries()     — one entry per implemented operator family from SURVEY.md §2
                 (see icdc_dataloader_spark/queries.py for the mapping).
-oracle_sql()  — matching DuckDB SQL for EVERY query (35/35 since round 3):
+oracle_sql()  — matching DuckDB SQL for EVERY query registered in
+                queries() (len(oracle_sql()) == len(queries())):
                 hash-based/approximate operators run portable-hash modes
                 whose full pipelines are replicated term-for-term in SQL
                 (hash_queries.py); uuid5 and the schema-derived model docs

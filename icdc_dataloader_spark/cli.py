@@ -240,12 +240,12 @@ def main(argv=None, spark: SparkSession | None = None) -> dict:
         for node_type, path in to_load:
             id_field = model.id_field(node_type)
             raw = tsv.read_tsv(spark, path)
-            ids = [
-                r[0]
-                for r in raw.select(F.trim(F.col(id_field))).distinct().collect()
-                if r[0]
-            ]
-            n, r = gl.delete_cascade(node_type, ids)
+            # seed ids stay a DataFrame end-to-end (semi-join inside
+            # delete_cascade) — a machine-generated delete manifest never
+            # becomes a driver-memory list
+            n, r = gl.delete_cascade(
+                node_type, raw.select(F.trim(F.col(id_field)))
+            )
             deleted["nodes"] += n
             deleted["relationships"] += r
         stats["deleted"] = deleted

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-DEFAULT_MAX_VIOLATIONS = 10  # loader.py DEFAULT_MAX_VIOLATIONS
+DEFAULT_MAX_VIOLATIONS = 1000000  # loader.py:27 DEFAULT_MAX_VIOLATIONS
 DEFAULT_TEMP_FOLDER = "tmp"
 
 UPSERT_MODE = "UPSERT_MODE"  # bento.common.utils constants (public repo)

@@ -61,6 +61,23 @@ from .merge import merge_into, read_state, table_schema
 BROADCAST_ROW_LIMIT = 1_000_000
 
 
+def file_seq_expr(per_file_seq: dict[int, int]):
+    """Map ``_file_ord`` -> per-file ``_seq`` as a single ``create_map``
+    literal lookup.
+
+    A WHEN/OTHERWISE chain here is N-deep in the analyzer tree — at the
+    thousand-file drop-folder scale that risks Catalyst stack overflow and
+    quadratic planning cost; one MapType literal keeps analysis O(1) in
+    file count."""
+    pairs: list = []
+    for ord_, s in per_file_seq.items():
+        pairs.append(F.lit(int(ord_)))
+        pairs.append(F.lit(int(s)).cast("long"))
+    return F.element_at(
+        F.create_map(*pairs), F.col("_file_ord").cast("int")
+    )
+
+
 def allocate_sequence_ids(
     new_rows: DataFrame,
     existing_max: int,
@@ -326,11 +343,7 @@ class GraphLoader:
                     row_id_col="_row",
                 ).count()
             per_file_seq = {o: self._next_seq() for o in ords_by_type[node_type]}
-            seq_expr = F.lit(None).cast("long")
-            for ord_, s in per_file_seq.items():
-                seq_expr = F.when(
-                    F.col("_file_ord") == ord_, F.lit(s)
-                ).otherwise(seq_expr)
+            seq_expr = file_seq_expr(per_file_seq)
             staged_nodes = self._with_sig(node_df, exclude=("_file_ord",))
             lake = self.node_lake(
                 node_type, staged_nodes.drop("_file_ord").schema
@@ -567,11 +580,9 @@ class GraphLoader:
         # strictly older)
         per_file_seq = {o: self._next_seq() for o in sorted(set(ords or [0]))}
         seq = max(per_file_seq.values())
-        seq_expr = F.lit(seq)
-        for ord_, s in per_file_seq.items():
-            seq_expr = F.when(F.col("_file_ord") == ord_, F.lit(s)).otherwise(
-                seq_expr
-            )
+        seq_expr = F.coalesce(
+            file_seq_expr(per_file_seq), F.lit(seq).cast("long")
+        )
         upserts = (
             self._with_sig(staged_edges, exclude=("_file_ord",))
             .withColumn("_op", F.lit("upsert"))
@@ -669,19 +680,44 @@ class GraphLoader:
 
     # -- delete ----------------------------------------------------------------
 
-    def delete_cascade(self, node_type: str, id_values: list[str]) -> tuple[int, int]:
+    def delete_cascade(
+        self, node_type: str, id_values: "list[str] | DataFrame"
+    ) -> tuple[int, int]:
         """W3 + J6: delete seed nodes and all exclusively-owned descendants.
 
         Edge direction: child points at parent; deleting a node deletes
         children reachable from it that have no surviving parent
         (data_loader.py:826-870).  Returns (nodes_deleted, rels_deleted).
+
+        ``id_values`` may be a Python list (small, curated seed files — the
+        reference's shape) or a single-column DataFrame of seed ids.  The
+        DataFrame path never materializes ids on the driver (semi-join
+        instead of ``isin``), so a machine-generated 100M-row delete
+        manifest stays distributed.
         """
         id_field = self.model.id_field(node_type)
-        seeds = (
-            self.nodes(node_type)
-            .filter(F.col(id_field).cast("string").isin([str(v) for v in id_values]))
-            .select(F.col("uuid").alias("node_id"))
-        )
+        if isinstance(id_values, DataFrame):
+            seed_ids = id_values.select(
+                F.trim(id_values[id_values.columns[0]])
+                .cast("string")
+                .alias(id_field)
+            ).filter(F.col(id_field).isNotNull() & (F.col(id_field) != ""))
+            seeds = (
+                self.nodes(node_type)
+                .withColumn(id_field, F.col(id_field).cast("string"))
+                .join(seed_ids.distinct(), id_field, "left_semi")
+                .select(F.col("uuid").alias("node_id"))
+            )
+        else:
+            seeds = (
+                self.nodes(node_type)
+                .filter(
+                    F.col(id_field)
+                    .cast("string")
+                    .isin([str(v) for v in id_values])
+                )
+                .select(F.col("uuid").alias("node_id"))
+            )
         edge_pairs = self.edges().select(
             F.col("child_uuid").alias("child_id"),
             F.col("parent_uuid").alias("parent_id"),

@@ -926,14 +926,18 @@ WITH ev AS (
             THEN 1 ELSE 0 END AS new_sess
   FROM ev
 ), sess AS (
-  SELECT *, SUM(new_sess) OVER
+  -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
+  -- float64 and breaks the driver's value hash even when every value
+  -- matches Spark's BIGINT output (round-3 red row).
+  SELECT *, CAST(SUM(new_sess) OVER
       (PARTITION BY user_id ORDER BY ts_s, event_id
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_no
   FROM tagged
 )
 SELECT user_id, session_no, MIN(ts_s) AS session_start_s,
        MAX(ts_s) AS session_end_s, COUNT(*) AS n_events,
-       SUM(cents) AS total_cents
+       CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM sess GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """

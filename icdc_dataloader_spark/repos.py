@@ -68,6 +68,7 @@ def make_pipeline(
     strategy: str = "cow",
     compact_every: int = 8,
     colocate_deltas: bool = True,
+    **pipeline_kw,
 ) -> CDCPipeline:
     """Table + ledger + pipeline rooted at ``root`` (created if absent)."""
     lake = create_repos_table(os.path.join(root, "repos"), n_buckets=n_buckets)
@@ -84,4 +85,5 @@ def make_pipeline(
         strategy=strategy,
         compact_every=compact_every,
         colocate_deltas=colocate_deltas,
+        **pipeline_kw,
     )

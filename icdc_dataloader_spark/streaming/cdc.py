@@ -90,11 +90,18 @@ class CDCPipeline:
         applied batch and never GCs past it); events from *future* drains
         are covered by this contract: "a future event's seq is never lower
         than (min over buckets of the max applied seq) − late_horizon".
-        0 (default) is the WAL/binlog-tail guarantee (per-partition
-        monotone appends); a positive value tolerates bounded disorder;
-        ``None`` means no contract — tombstones are retained forever
-        (call :func:`plans.merge.compact` with an explicit watermark to
-        reclaim them).
+        0 (default) requires a SINGLE GLOBALLY-MONOTONE binlog sequence
+        (MySQL GTID order, Postgres LSN, a Kafka single-partition offset):
+        every future event's seq strictly exceeds every applied one.
+        Per-partition monotonicity is NOT enough — a lagging source
+        partition may later deliver lower seqs than another partition's
+        applied max, and GC at 0 could drop a tombstone a late upsert
+        still needs (resurrecting a deleted row).  For a multi-partition
+        source with independent per-partition sequences, set
+        ``late_horizon`` to a bound on cross-partition seq lag, or
+        ``None`` (no contract — tombstones retained forever; call
+        :func:`plans.merge.compact` with an explicit watermark to reclaim
+        them).
         """
         self.spark = spark
         self.lake = lake
