@@ -1113,3 +1113,105 @@ ORDER BY trial_id, arm_id, case_id, specimen_id
 
 QUERIES["sbg_manifest_chain"] = sbg_manifest_chain
 ORACLES["sbg_manifest_chain"] = SBG_MANIFEST_SQL
+
+
+# -- cdc_final_state: the flagship MERGE/MoR apply path, oracle-checked --------
+
+_LANG_BY_TYPE = {
+    "error": "python", "view": "go", "signup": "rust",
+    "click": "c", "purchase": "md",
+}
+
+
+def cdc_final_state(spark, sf_dir):
+    """North-star end-to-end check (round-3 VERDICT #7): replay the testdata
+    ``events`` table through a REAL MoR lake — batched drain, LWW merge,
+    in-loop compaction, tombstone GC — and return the final keyed state.
+
+    The mapping events -> change events is deterministic so DuckDB can
+    replay it arithmetically (arg-max per key, tombstones applied):
+
+    - key (repo, path) = ('u' || user_id, event_type)
+    - seq = event_id (globally unique; LWW ties impossible)
+    - op = 'delete' every 7th event, else 'upsert'
+    - batch_id = event_id % 4 — DELIBERATELY arrival-shuffled (a later
+      batch carries lower seqs), exercising the exact pending-batch GC
+      bound rather than the monotone-contract leg
+    - commit = 'c' || event_id; lang from a fixed event_type map (always
+      enum-valid so validation is a verified no-op); content = props
+
+    The lake is built in a fresh temp dir per call; compact_every=2 forces
+    real compactions (with tombstone GC) inside the measured drain.
+    lww_latest_event proves the dedup OPERATOR; this proves the applied
+    TABLE — reference parity: loader.py load -> final graph state equality
+    (tests/test_reloading_data.py shape).
+    """
+    import tempfile
+
+    from .plans.merge import read_state
+    from .repos import make_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    lang = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    mapped = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
+        F.col("event_type").alias("path"),
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        ).alias("commit"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(lang)
+        .alias("lang"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("content"),
+        (F.col("event_id") % 4).alias("batch_id"),
+        F.col("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_final_state_")
+    binlog = f"{root}/binlog"
+    mapped.write.partitionBy("batch_id").parquet(binlog)
+    pipe = make_pipeline(
+        spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=2
+    )
+    res = pipe.run(spark.read.parquet(binlog))
+    assert not res.get("quarantined"), res
+    return read_state(spark, pipe.lake).select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
+CDC_FINAL_STATE_SQL = """
+WITH ev AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS repo,
+         event_type AS path,
+         'c' || CAST(event_id AS VARCHAR) AS commit,
+         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
+              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
+              ELSE 'md' END AS lang,
+         props AS content
+  FROM events
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256
+FROM win WHERE rn = 1 AND op = 'upsert'
+"""
+
+QUERIES["cdc_final_state"] = cdc_final_state
+ORACLES["cdc_final_state"] = CDC_FINAL_STATE_SQL
