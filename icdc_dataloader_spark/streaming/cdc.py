@@ -460,6 +460,13 @@ class CDCPipeline:
             if max_batches is not None and len(applied) >= max_batches:
                 break
             if str(bid) in committed:
+                # heal the ledger after a crash between snapshot commit and
+                # ledger record (same as apply_batch's no-op path, which a
+                # skipped batch never reaches)
+                if not self.ledger.is_applied(bid):
+                    self.ledger.record(
+                        bid, self.lake.snapshot()["version"], {}, {}
+                    )
                 continue
             if self.ledger.is_quarantined(bid):
                 quarantined.append(str(bid))
