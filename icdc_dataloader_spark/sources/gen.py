@@ -141,3 +141,44 @@ def gen_events_spark(
     ).withColumn(
         "batch_id", F.floor(F.col("_arrival") * n_batches / F.lit(n_events)).cast("long")
     ).drop("_arrival")
+
+
+def gen_embeddings_spark(
+    spark: SparkSession,
+    n_vectors: int,
+    dim: int = 64,
+    n_clusters: int = 1000,
+    noise: float = 0.35,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded clustered embeddings at arbitrary scale, fully distributed.
+
+    Vector i = center(i % n_clusters) + noise·u(i), every component a pure
+    xxhash64 expression of (id, j, seed) — no driver-side data, no numpy:
+    the same recipe generates 10^9 vectors on a cluster.  Clustered (not
+    uniform) geometry matters for ANN evaluation: top-k neighbors of a
+    query are dominated by its cluster, so recall measures something a
+    random corpus cannot.  Schema matches the driver's embeddings table:
+    (vec_id bigint, embedding array<float>, label int).
+    """
+    df = spark.range(
+        0, n_vectors, 1,
+        partitions or spark.sparkContext.defaultParallelism,
+    )
+    cluster = F.pmod(F.col("id"), F.lit(n_clusters))
+
+    def unit(col, j, salt):
+        h = F.xxhash64(col, F.lit(j), F.lit(seed + salt))
+        return F.pmod(h, F.lit(2001)) / 1000.0 - 1.0
+
+    comps = [
+        (unit(cluster, j, 100) + F.lit(noise) * unit(F.col("id"), j, 200))
+        .cast("float")
+        for j in range(dim)
+    ]
+    return df.select(
+        F.col("id").alias("vec_id"),
+        F.array(*comps).alias("embedding"),
+        cluster.cast("int").alias("label"),
+    )

