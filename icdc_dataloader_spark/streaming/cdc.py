@@ -64,6 +64,7 @@ class CDCPipeline:
         colocate_deltas: bool = True,
         late_horizon: int | None = 0,
         assume_ordered: bool = False,
+        source_partition_col: str | None = None,
     ):
         """``strategy``:
 
@@ -97,11 +98,26 @@ class CDCPipeline:
         partition may later deliver lower seqs than another partition's
         applied max, and GC at 0 could drop a tombstone a late upsert
         still needs (resurrecting a deleted row).  For a multi-partition
-        source with independent per-partition sequences, set
+        source with independent per-partition sequences, either set
+        ``source_partition_col`` (below — per-partition watermarks make
+        late_horizon=0 safe under per-partition monotonicity), set
         ``late_horizon`` to a bound on cross-partition seq lag, or
         ``None`` (no contract — tombstones retained forever; call
         :func:`plans.merge.compact` with an explicit watermark to reclaim
         them).
+
+        ``source_partition_col``: name of a metadata column carrying the
+        source partition id (Kafka partition, shard, binlog stream).  When
+        set, the ledger tracks the max applied seq PER SOURCE PARTITION
+        and tombstone GC bounds future events by min over partitions —
+        ``late_horizon=0`` then only requires per-partition monotone
+        appends (the natural multi-partition binlog model) instead of a
+        single global sequence.  Contract: the partition set is fixed and
+        every partition appears in the stream; a quiet partition pins the
+        watermark (the standard idle-partition behavior — safe, just
+        delays GC).  The column is metadata: it is dropped before the
+        merge and never reaches the lake schema.  Costs one tiny
+        per-batch aggregate (groupBy(partition).max(seq)).
         """
         self.spark = spark
         self.lake = lake
@@ -121,6 +137,7 @@ class CDCPipeline:
         self.retry_ttl = retry_ttl
         self.colocate_deltas = colocate_deltas
         self.late_horizon = late_horizon
+        self.source_partition_col = source_partition_col
         # ``assume_ordered``: the caller vouches that apply_batch() is fed
         # batches in source order (a Structured Streaming foreachBatch epoch
         # sequence qualifies — stream.py sets this), so tombstone GC may use
@@ -188,6 +205,24 @@ class CDCPipeline:
             return {"batch_id": bid, "noop": True}
 
         from pyspark.sql import Observation
+
+        src_partitions = None
+        if (
+            self.source_partition_col
+            and self.source_partition_col in batch_df.columns
+        ):
+            # per-source-partition max applied seq (tiny agg: one row per
+            # partition); the column is binlog metadata — dropped so it
+            # never reaches the lake schema
+            src_partitions = {
+                str(r["p"]): r["ms"]
+                for r in batch_df.groupBy(
+                    F.col(self.source_partition_col).alias("p")
+                )
+                .agg(F.max(self.seq_col).alias("ms"))
+                .collect()
+            }
+            batch_df = batch_df.drop(self.source_partition_col)
 
         annotated = self._annotate(batch_df)
         ok = F.size("_errs") == 0
@@ -286,7 +321,10 @@ class CDCPipeline:
         metrics = dict(res["metrics"])
         metrics["rows_quarantined"] = n_errors
         with timers.phase("ledger.record"):
-            self.ledger.record(bid, res["version"], metrics, lineage)
+            self.ledger.record(
+                bid, res["version"], metrics, lineage,
+                src_partitions=src_partitions,
+            )
         return {
             "batch_id": bid,
             "noop": False,
@@ -305,9 +343,12 @@ class CDCPipeline:
           not yet applied (``_pending_mins``, maintained by :meth:`run`) —
           an arrival-shuffled source (later batch, lower seqs) can never
           lose a tombstone it still needs;
-        - **contractual, future**: min over buckets of the max applied seq,
-          minus ``late_horizon`` — the source's promise about events not
-          yet visible.  ``late_horizon=None`` disables GC entirely.
+        - **contractual, future**: minus ``late_horizon``, either min over
+          SOURCE partitions of the max applied seq (when
+          ``source_partition_col`` is set — sufficient under per-partition
+          monotone appends) or min over hash buckets of the max applied
+          seq (requires a single globally-monotone sequence at
+          ``late_horizon=0``).  ``late_horizon=None`` disables GC.
 
         A tombstone below the result can only be beaten by upserts that are
         themselves above it, so removing it never changes LWW outcomes.
@@ -322,7 +363,13 @@ class CDCPipeline:
             # lower-seq batch still needs — no info, no GC (the streaming
             # front-end opts back in via assume_ordered)
             return None
-        lw = self.ledger.low_water()
+        if self.source_partition_col:
+            # no future event from partition p can carry seq <= its
+            # recorded max; min over partitions bounds them ALL — no
+            # global-sequence assumption needed
+            lw = self.ledger.source_low_water()
+        else:
+            lw = self.ledger.low_water()
         if not lw:
             return None
         wm = min(lw.values()) - self.late_horizon

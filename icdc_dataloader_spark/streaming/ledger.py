@@ -54,6 +54,10 @@ class CheckpointLedger:
             "totals": {},
             "failures": {},
             "low_water": {},
+            # per SOURCE partition max applied seq (opt-in: folded only
+            # when the pipeline passes src_partitions — see
+            # CDCPipeline(source_partition_col=...))
+            "source_low_water": {},
             "segments": {},  # seg name -> records folded into this head
         }
 
@@ -122,6 +126,13 @@ class CheckpointLedger:
             cur = head["low_water"].get(bucket)
             if cur is None or ms > cur:
                 head["low_water"][bucket] = ms
+        slw = head.setdefault("source_low_water", {})
+        for part, ms in (line.get("src_partitions") or {}).items():
+            if ms is None:
+                continue
+            cur = slw.get(part)
+            if cur is None or ms > cur:
+                slw[part] = ms
         head["failures"].pop(line["batch_id"], None)
         return True
 
@@ -254,7 +265,8 @@ class CheckpointLedger:
         return dict(self._load_head()["totals"])
 
     def record(
-        self, batch_id, version: int, metrics: dict, lineage: dict | None = None
+        self, batch_id, version: int, metrics: dict,
+        lineage: dict | None = None, src_partitions: dict | None = None,
     ) -> None:
         head = self._load_head()
         bid = str(batch_id)
@@ -266,6 +278,10 @@ class CheckpointLedger:
             "metrics": metrics or {},
             "lineage": lineage or {},
         }
+        if src_partitions:
+            line["src_partitions"] = {
+                str(k): v for k, v in src_partitions.items()
+            }
         seg = self._current_segment(head)
         with open(os.path.join(self.seg_dir, seg), "a") as fh:
             fh.write(json.dumps(line) + "\n")
@@ -304,3 +320,9 @@ class CheckpointLedger:
         Maintained incrementally in the head: O(buckets) to read, never a
         history scan."""
         return dict(self._load_head()["low_water"])
+
+    def source_low_water(self) -> dict:
+        """Per SOURCE partition max applied seq (empty unless the pipeline
+        records src_partitions).  min(values) bounds every future event
+        under per-partition monotone appends."""
+        return dict(self._load_head().get("source_low_water", {}))
