@@ -1215,3 +1215,103 @@ FROM win WHERE rn = 1 AND op = 'upsert'
 
 QUERIES["cdc_final_state"] = cdc_final_state
 ORACLES["cdc_final_state"] = CDC_FINAL_STATE_SQL
+
+
+def schema_evolution_state(spark, sf_dir):
+    """North-rule schema evolution, oracle-checked end-to-end: drain even
+    event_ids under the base schema, evolve the lake (add ``stars`` long —
+    metadata-only commit, no rewrite), drain odd event_ids carrying the
+    new column, and return the final state.  A key whose LWW winner
+    predates the evolution reads back stars=NULL from the ORIGINAL data
+    files (proving no rewrite happened); post-evolution winners carry
+    stars = event_id % 97.  DuckDB replays the same outcome arithmetically.
+    Reference analogue: model-YAML v2 adds a property and the loader
+    keeps loading (icdc_schema.py property map drives the columns).
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.merge import read_state, table_schema
+    from .repos import make_pipeline, repos_payload_schema
+
+    ev = _t(spark, sf_dir, "events")
+    lang = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    is_del = F.col("event_id") % 7 == 0
+
+    def mapped(df):
+        return df.select(
+            F.col("event_id").alias("seq"),
+            F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string"))
+            .alias("repo"),
+            F.col("event_type").alias("path"),
+            F.when(is_del, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("c"), F.col("event_id").cast("string"))
+            ).alias("commit"),
+            F.when(is_del, F.lit(None).cast("string")).otherwise(lang)
+            .alias("lang"),
+            F.when(is_del, F.lit(None).cast("string"))
+            .otherwise(F.col("props")).alias("content"),
+            (F.col("event_id") % 4).alias("batch_id"),
+            F.col("ts"),
+        )
+
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    early = mapped(ev.filter(F.col("event_id") % 2 == 0))
+    late = mapped(ev.filter(F.col("event_id") % 2 == 1)).withColumn(
+        "stars",
+        F.when(F.col("seq") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("seq") % 97),
+    )
+    early.write.partitionBy("batch_id").parquet(f"{root}/b1")
+    late.write.partitionBy("batch_id").parquet(f"{root}/b2")
+    pipe = make_pipeline(
+        spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=2
+    )
+    r1 = pipe.run(spark.read.parquet(f"{root}/b1"))
+    files_before = {f["path"] for f in pipe.lake.snapshot()["files"]}
+    pipe.lake.evolve_schema(
+        table_schema(repos_payload_schema().add("stars", T.LongType()))
+    )
+    # metadata-only: the evolution commit rewrote NO data files
+    assert {f["path"] for f in pipe.lake.snapshot()["files"]} == files_before
+    r2 = pipe.run(spark.read.parquet(f"{root}/b2"))
+    assert not r1.get("quarantined") and not r2.get("quarantined")
+    return read_state(spark, pipe.lake).select(
+        "repo", "path", "commit", "lang", "stars", "content_sha256"
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH ev AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS repo,
+         event_type AS path,
+         'c' || CAST(event_id AS VARCHAR) AS commit,
+         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
+              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
+              ELSE 'md' END AS lang,
+         props AS content,
+         CASE WHEN event_id % 2 = 1 THEN CAST(event_id % 97 AS BIGINT)
+              END AS stars
+  FROM events
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT repo, path, commit, lang, stars,
+       sha256(content) AS content_sha256
+FROM win WHERE rn = 1 AND op = 'upsert'
+"""
+
+QUERIES["schema_evolution_state"] = schema_evolution_state
+ORACLES["schema_evolution_state"] = SCHEMA_EVOLUTION_SQL
