@@ -138,6 +138,73 @@ def resolve(
     )
 
 
+def changed_buckets(
+    lake: LakeTable, v_from: int, v_to: int
+) -> list[int]:
+    """Hash buckets touched by data files added in (v_from, v_to] —
+    driver-side manifest diff, no Spark job.  A downstream consumer only
+    needs to re-read these buckets: at 100 TB an incremental batch
+    typically touches a small fraction of them.  Compaction rewrites count
+    as touches (superset — always safe)."""
+    old = {f["path"] for f in lake.snapshot(v_from)["files"]}
+    return sorted({
+        f["bucket"]
+        for f in lake.snapshot(v_to)["files"]
+        if f["path"] not in old
+    })
+
+
+def changes_between(
+    spark: SparkSession,
+    lake: LakeTable,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Incremental change feed between two snapshots (the CONSUME side of
+    the CDC engine — the Iceberg incremental-read analogue): one row per
+    key whose live state differs between ``v_from`` and ``v_to``.
+
+    Output: key columns, ``change_type`` ('insert' | 'update' |
+    'delete'), and the v_to payload (NULL payload for deletes).
+
+    Plan shape: both states are resolved ONLY over :func:`changed_buckets`
+    (file-level pruning from manifests — untouched buckets are never
+    opened), then a single key full-outer join; winners are compared by
+    ``_seq`` (same key + same winning seq == same row, by LWW totality).
+    A key deleted before v_from and still dead at v_to emits nothing,
+    even if its tombstone was GC'd in between.
+    """
+    v_to = lake.latest_version() if v_to is None else v_to
+    bks = changed_buckets(lake, v_from, v_to)
+    key_cols = lake.key_cols()
+    payload_cols = [
+        f.name for f in lake.schema(v_to).fields
+        if f.name not in INTERNAL_COLS and f.name not in key_cols
+    ]
+
+    def live(version):
+        df = resolve(spark, lake, version=version, buckets=bks)
+        return df.filter(F.col("_op") != OP_DELETE)
+
+    old = live(v_from).select(
+        *key_cols, F.col("_seq").alias("_old_seq")
+    )
+    new = live(v_to).select(
+        *key_cols, F.col("_seq").alias("_new_seq"), *payload_cols
+    )
+    joined = new.join(old, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old_seq").isNull(), F.lit("insert"))
+        .when(F.col("_new_seq").isNull(), F.lit("delete"))
+        .when(F.col("_new_seq") != F.col("_old_seq"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type", *payload_cols)
+    )
+
+
 def read_state(spark: SparkSession, lake: LakeTable, version: int | None = None) -> DataFrame:
     """User-facing current state: live rows only, lineage columns dropped."""
     df = resolve(spark, lake, version=version)

@@ -1315,3 +1315,100 @@ FROM win WHERE rn = 1 AND op = 'upsert'
 
 QUERIES["schema_evolution_state"] = schema_evolution_state
 ORACLES["schema_evolution_state"] = SCHEMA_EVOLUTION_SQL
+
+
+def incremental_changes(spark, sf_dir):
+    """The CONSUME side of the CDC engine, oracle-checked: drain batches
+    0-1 of the mapped event stream (-> v_from), drain batches 2-3
+    (-> v_to), then emit the keyed change feed between the two snapshots
+    via plans/merge.changes_between — insert / update / delete per key,
+    resolved only over manifest-diffed changed buckets.  DuckDB replays
+    both states arithmetically (winner over batches<=1 vs winner over
+    all) and diffs them.  Iceberg incremental-read analogue; reference
+    analogue: consumers of the loader's graph reading what a load changed
+    (visit/relationship audit stats, data_loader.py load metrics).
+    """
+    import tempfile
+
+    from .plans.merge import changes_between
+    from .repos import make_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    lang = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    is_del = F.col("event_id") % 7 == 0
+    mapped = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
+        F.col("event_type").alias("path"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        ).alias("commit"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(lang)
+        .alias("lang"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("props")).alias("content"),
+        (F.col("event_id") % 4).alias("batch_id"),
+        F.col("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="incr_changes_")
+    mapped.write.partitionBy("batch_id").parquet(f"{root}/binlog")
+    pipe = make_pipeline(
+        spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=3
+    )
+    binlog = spark.read.parquet(f"{root}/binlog")
+    r1 = pipe.run(binlog, max_batches=2)
+    v_from = pipe.lake.latest_version()
+    r2 = pipe.run(binlog)
+    assert not r1.get("quarantined") and not r2.get("quarantined")
+    return changes_between(spark, pipe.lake, v_from).select(
+        "repo", "path", "change_type", "commit", "lang", "content_sha256"
+    )
+
+
+INCREMENTAL_CHANGES_SQL = """
+WITH ev AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS repo,
+         event_type AS path,
+         'c' || CAST(event_id AS VARCHAR) AS commit,
+         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
+              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
+              ELSE 'md' END AS lang,
+         props AS content,
+         event_id % 4 AS batch
+  FROM events
+), s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY seq DESC) AS rn
+    FROM ev WHERE batch <= 1
+  ) WHERE rn = 1 AND op = 'upsert'
+), s2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY seq DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1 AND op = 'upsert'
+)
+SELECT COALESCE(s2.repo, s1.repo) AS repo,
+       COALESCE(s2.path, s1.path) AS path,
+       CASE WHEN s1.repo IS NULL THEN 'insert'
+            WHEN s2.repo IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       s2.commit AS commit, s2.lang AS lang,
+       sha256(s2.content) AS content_sha256
+FROM s2 FULL OUTER JOIN s1
+  ON s1.repo = s2.repo AND s1.path = s2.path
+WHERE s1.repo IS NULL OR s2.repo IS NULL OR s1.seq <> s2.seq
+"""
+
+QUERIES["incremental_changes"] = incremental_changes
+ORACLES["incremental_changes"] = INCREMENTAL_CHANGES_SQL
