@@ -534,15 +534,42 @@ def compact(
     spark: SparkSession,
     lake: LakeTable,
     drop_tombstones_below_seq: int | None = None,
+    buckets: list[int] | None = None,
+    min_delta_files: int | None = None,
 ) -> int:
     """Rewrite base ∪ deltas into per-key winners (new base), drop deltas.
 
     ``drop_tombstones_below_seq``: tombstones with _seq below this watermark
     (e.g. the ledger's per-partition low-water) are physically removed —
     safe once no event below the watermark can still arrive.
+
+    Bucket-targeted compaction (the 100 TB shape — a full-table rewrite
+    per cadence is O(table), exactly the cost MoR exists to avoid):
+
+    - ``buckets``: compact only these hash buckets; every other bucket's
+      files are CARRIED into the new snapshot untouched.
+    - ``min_delta_files``: auto-select buckets holding at least this many
+      delta files (driver-side manifest scan, no job).  ``1`` means
+      "every delta-bearing bucket, nothing else" — the in-loop setting:
+      a bucket no batch touched is never rewritten.
+
+    Keys hash to exactly one bucket, so per-bucket resolution is complete
+    for the keys it covers.  With a restriction, GC is opportunistic: a
+    dead tombstone in a SKIPPED bucket's base survives until that bucket
+    next compacts (space amplification only — reads filter tombstones).
+    Both None (default): full rewrite, tombstone GC everywhere.
     """
     schema = lake.schema()
-    winners = resolve(spark, lake)
+    if min_delta_files is not None and buckets is None:
+        per_bucket: dict[int, int] = {}
+        for f in lake.delta_files():
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        buckets = sorted(
+            b for b, n in per_bucket.items() if n >= min_delta_files
+        )
+        if not buckets:
+            return lake.latest_version()  # nothing ripe: no-op
+    winners = resolve(spark, lake, buckets=buckets)
     if drop_tombstones_below_seq is not None:
         winners = winners.filter(
             (F.col("_op") != OP_DELETE)
@@ -550,7 +577,15 @@ def compact(
         )
     out = _align(winners, schema).repartition(lake.n_buckets(), "_bucket")
     new_version = lake.latest_version() + 1
+    if buckets is None:
+        carried: list[dict] = []
+        n_compacted = len(lake.snapshot()["files"])
+    else:
+        bset = set(buckets)
+        snap_files = lake.snapshot()["files"]
+        carried = [f for f in snap_files if f["bucket"] not in bset]
+        n_compacted = len(snap_files) - len(carried)
     new_files = lake.write_data_files(out, new_version, schema, role="base")
-    return lake.commit(new_files, [], operation="compact", metrics={
-        "files_compacted": len(lake.snapshot()["files"]),
+    return lake.commit(new_files, carried, operation="compact", metrics={
+        "files_compacted": n_compacted,
     })

@@ -268,10 +268,15 @@ class CDCPipeline:
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
                 with timers.phase("compact"):
+                    # bucket-targeted: only delta-bearing buckets rewrite;
+                    # a bucket no batch touched costs nothing (at 10^10
+                    # events a full-table rewrite per cadence is the
+                    # O(table) term MoR exists to avoid)
                     compact(
                         self.spark,
                         self.lake,
                         drop_tombstones_below_seq=self._gc_watermark(),
+                        min_delta_files=1,
                     )
                 self._batches_since_compact = 0
         else:
