@@ -597,14 +597,23 @@ class LakeTable:
         if os.path.isdir(data_root):
             for d in os.listdir(data_root):
                 full = os.path.join(data_root, d)
-                files = {
-                    os.path.join(dp, fn)
-                    for dp, _, fns in os.walk(full)
-                    for fn in fns
-                    if fn.endswith(".parquet")
-                }
-                if files and not (files & live):
-                    shutil.rmtree(full)
+                # FILE granularity, not directory: bucket-targeted
+                # compaction carries some of a version dir's files into
+                # later snapshots while superseding others — a dir-level
+                # check would pin the dead files forever (unbounded space
+                # under repeated partial compactions)
+                any_live = False
+                for dp, _dirs, fns in os.walk(full):
+                    for fn in fns:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        p = os.path.join(dp, fn)
+                        if p in live:
+                            any_live = True
+                        else:
+                            os.unlink(p)
+                if not any_live:
+                    shutil.rmtree(full, ignore_errors=True)
         if os.path.isdir(self.manifest_dir):
             for fn in os.listdir(self.manifest_dir):
                 rel = os.path.relpath(

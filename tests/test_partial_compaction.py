@@ -98,3 +98,36 @@ def test_default_loop_matches_full_compaction_state(spark, tmp_path):
     )
     _drain(spark, loop, tmp_path, "dB", rows)
     assert _state(spark, loop) == _state(spark, full)
+
+
+def test_vacuum_reclaims_superseded_files_in_mixed_dirs(spark, tmp_path):
+    """Partial compaction supersedes SOME files of an old version dir while
+    carrying others; vacuum must reclaim exactly the dead ones (dir-level
+    vacuum pinned them forever — round-4 fix)."""
+    import os
+
+    pipe = make_pipeline(
+        spark, str(tmp_path / "lake"), n_buckets=8, strategy="mor",
+        compact_every=100,
+    )
+    _drain(spark, pipe, tmp_path, "d1",
+           [_ev(i, "upsert", f"r{i}") for i in range(1, 40)])
+    compact(spark, pipe.lake)
+    base_by_path = {
+        f["path"]: f["bucket"] for f in pipe.lake.snapshot()["files"]
+    }
+    expected = _state(spark, pipe)
+
+    _drain(spark, pipe, tmp_path, "d2", [_ev(100, "upsert", "r5", 1)])
+    expected[("r5", "p")] = "c100"
+    touched = {f["bucket"] for f in pipe.lake.delta_files()}
+    compact(spark, pipe.lake, min_delta_files=1)
+    pipe.lake.vacuum(keep_last=1)
+
+    root = pipe.lake.root
+    superseded = [p for p, b in base_by_path.items() if b in touched]
+    carried = [p for p, b in base_by_path.items() if b not in touched]
+    assert superseded and carried
+    assert all(not os.path.exists(os.path.join(root, p)) for p in superseded)
+    assert all(os.path.exists(os.path.join(root, p)) for p in carried)
+    assert _state(spark, pipe) == expected  # reads fully intact
