@@ -70,6 +70,7 @@ def resolve(
     lake: LakeTable,
     version: int | None = None,
     buckets: list[int] | None = None,
+    project: list[str] | None = None,
 ) -> DataFrame:
     """Current table rows with merge-on-read deltas resolved.
 
@@ -92,12 +93,28 @@ def resolve(
     (window) for an 8M-row compact; the local[2] spill is gone entirely.
     """
     df = lake.read(spark, version=version, buckets=buckets)
+    key_cols = lake.key_cols()
+    if project is not None:
+        # caller only needs these columns (e.g. changes_between's OLD side
+        # wants keys + _seq): narrow the struct so Catalyst prunes the
+        # parquet scan instead of shipping every payload byte through the
+        # winner aggregation
+        needed = [
+            c
+            for c in dict.fromkeys(
+                list(project)
+                + key_cols
+                + ["_seq", "_op", "_created_seq"]
+                + lake.tiebreakers()
+            )
+            if c in df.columns
+        ]
+        df = df.select(*needed)
     if not lake.delta_files(version):
         return df
 
-    key_cols = lake.key_cols()
     order = _lww_order("_seq", lake.tiebreakers())
-    payload = F.struct(*[f.name for f in lake.schema(version).fields])
+    payload = F.struct(*df.columns)
     # created lineage must RESET across a delete->recreate: only rows at or
     # after the key's latest tombstone count toward _first_seq (the COW path
     # gets this for free because the tombstone physically replaces the old
@@ -182,15 +199,18 @@ def changes_between(
         if f.name not in INTERNAL_COLS and f.name not in key_cols
     ]
 
-    def live(version):
-        df = resolve(spark, lake, version=version, buckets=bks)
-        return df.filter(F.col("_op") != OP_DELETE)
-
-    old = live(v_from).select(
-        *key_cols, F.col("_seq").alias("_old_seq")
+    # OLD side only contributes keys + winning seq: project so the scan
+    # reads no payload bytes (Catalyst prunes the parquet columns)
+    old = (
+        resolve(spark, lake, version=v_from, buckets=bks,
+                project=list(key_cols) + ["_seq"])
+        .filter(F.col("_op") != OP_DELETE)
+        .select(*key_cols, F.col("_seq").alias("_old_seq"))
     )
-    new = live(v_to).select(
-        *key_cols, F.col("_seq").alias("_new_seq"), *payload_cols
+    new = (
+        resolve(spark, lake, version=v_to, buckets=bks)
+        .filter(F.col("_op") != OP_DELETE)
+        .select(*key_cols, F.col("_seq").alias("_new_seq"), *payload_cols)
     )
     joined = new.join(old, key_cols, "full_outer")
     change = (
