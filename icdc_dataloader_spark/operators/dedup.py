@@ -55,12 +55,16 @@ def _window_group_limit_active(df: DataFrame) -> bool:
     ``row_number()=1`` filter into a map-side partial top-1 (Spark >=3.5;
     ``spark.sql.optimizer.windowGroupLimitThreshold`` > 0)."""
     try:
+        # no fallback default: on a build where the conf is unregistered
+        # (Spark < 3.5 — no InferWindowGroupLimit) this RAISES and we
+        # fail CLOSED; a supplied default would silently return 1000 and
+        # dispatch the one-task-per-key funnel (self-review round 4)
         thr = int(
             df.sparkSession.conf.get(
-                "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+                "spark.sql.optimizer.windowGroupLimitThreshold"
             )
         )
-    except Exception:  # noqa: BLE001 — conf absent on exotic builds
+    except Exception:  # noqa: BLE001 — conf absent: rule doesn't exist
         return False
     return thr > 0
 
@@ -117,7 +121,10 @@ def lww_dedup(
 
     Returns the full winning row (all columns of ``df``).
     ``strategy='auto'`` probes key skew (:func:`choose_lww_strategy`) and
-    dispatches to 'salted' above the hot-share threshold, else 'agg'.
+    dispatches to 'agg' above the hot-share threshold, else to 'window'
+    while InferWindowGroupLimit is active (falling back to 'agg') —
+    never 'salted' and never the naive window; see the dispatcher's
+    docstring for the measurements.
     """
     if strategy == "auto":
         strategy = choose_lww_strategy(df, keys)

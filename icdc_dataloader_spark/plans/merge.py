@@ -158,17 +158,25 @@ def resolve(
 def changed_buckets(
     lake: LakeTable, v_from: int, v_to: int
 ) -> list[int]:
-    """Hash buckets touched by data files added in (v_from, v_to] —
+    """Hash buckets whose file set changed in (v_from, v_to] —
     driver-side manifest diff, no Spark job.  A downstream consumer only
     needs to re-read these buckets: at 100 TB an incremental batch
     typically touches a small fraction of them.  Compaction rewrites count
-    as touches (superset — always safe)."""
-    old = {f["path"] for f in lake.snapshot(v_from)["files"]}
-    return sorted({
-        f["bucket"]
-        for f in lake.snapshot(v_to)["files"]
-        if f["path"] not in old
-    })
+    as touches (superset — always safe).
+
+    Both directions of the diff matter: files ADDED (new data) and files
+    REMOVED (a bucket that compacted/GC'd/wiped down to zero files leaves
+    nothing behind at v_to — self-review round 4: an added-only diff
+    silently dropped the delete events for every key in such a bucket).
+    """
+    old_files = lake.snapshot(v_from)["files"]
+    new_files = lake.snapshot(v_to)["files"]
+    old_paths = {f["path"] for f in old_files}
+    new_paths = {f["path"] for f in new_files}
+    return sorted(
+        {f["bucket"] for f in new_files if f["path"] not in old_paths}
+        | {f["bucket"] for f in old_files if f["path"] not in new_paths}
+    )
 
 
 def changes_between(

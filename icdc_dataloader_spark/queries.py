@@ -12,6 +12,8 @@ Conventions that make the driver's value-hash comparison deterministic:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1115,6 +1117,77 @@ QUERIES["sbg_manifest_chain"] = sbg_manifest_chain
 ORACLES["sbg_manifest_chain"] = SBG_MANIFEST_SQL
 
 
+
+
+def _cdc_mapped_events(ev: DataFrame) -> DataFrame:
+    """The shared deterministic events -> CDC change-event mapping used by
+    cdc_final_state / schema_evolution_state / incremental_changes (one
+    home — the DuckDB side mirrors it via :func:`_cdc_ev_cte`):
+    key ('u'||user_id, event_type), seq = event_id, delete every 7th,
+    lang from the fixed event_type map, content = props, batch = id%4."""
+    lang = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    is_del = F.col("event_id") % 7 == 0
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
+        F.col("event_type").alias("path"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        ).alias("commit"),
+        F.when(is_del, F.lit(None).cast("string")).otherwise(lang)
+        .alias("lang"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.col("props")).alias("content"),
+        (F.col("event_id") % 4).alias("batch_id"),
+        F.col("ts"),
+    )
+
+
+def _cdc_ev_cte(extra_cols: str = "") -> str:
+    """DuckDB replica of :func:`_cdc_mapped_events` (column-for-column)."""
+    return f"""
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         'u' || CAST(user_id AS VARCHAR) AS repo,
+         event_type AS path,
+         'c' || CAST(event_id AS VARCHAR) AS commit,
+         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
+              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
+              ELSE 'md' END AS lang,
+         props AS content,
+         event_id % 4 AS batch{extra_cols}
+  FROM events"""
+
+
+def _query_workdir(name: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for pipeline-backed queries.
+
+    The returned DataFrame lazily reads the lake built here AFTER the
+    query function returns (the driver collects later), so the dir cannot
+    be removed in a finally.  Instead each (query, sf_dir) pair owns ONE
+    fixed path that is wiped and rebuilt per invocation — disk usage is
+    bounded at one copy per query instead of leaking a tree per run
+    (self-review round 4)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_queries", f"{name}_{tag}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 # -- cdc_final_state: the flagship MERGE/MoR apply path, oracle-checked --------
 
 _LANG_BY_TYPE = {
@@ -1146,40 +1219,11 @@ def cdc_final_state(spark, sf_dir):
     TABLE — reference parity: loader.py load -> final graph state equality
     (tests/test_reloading_data.py shape).
     """
-    import tempfile
-
     from .plans.merge import read_state
     from .repos import make_pipeline
 
-    ev = _t(spark, sf_dir, "events")
-    lang = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
-        ),
-        F.col("event_type"),
-    )
-    mapped = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
-        .otherwise(F.lit("upsert"))
-        .alias("op"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
-        F.col("event_type").alias("path"),
-        F.when(
-            F.col("event_id") % 7 == 0, F.lit(None).cast("string")
-        ).otherwise(
-            F.concat(F.lit("c"), F.col("event_id").cast("string"))
-        ).alias("commit"),
-        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
-        .otherwise(lang)
-        .alias("lang"),
-        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("props"))
-        .alias("content"),
-        (F.col("event_id") % 4).alias("batch_id"),
-        F.col("ts"),
-    )
-    root = tempfile.mkdtemp(prefix="cdc_final_state_")
+    mapped = _cdc_mapped_events(_t(spark, sf_dir, "events"))
+    root = _query_workdir("cdc_final_state", sf_dir)
     binlog = f"{root}/binlog"
     mapped.write.partitionBy("batch_id").parquet(binlog)
     pipe = make_pipeline(
@@ -1192,18 +1236,8 @@ def cdc_final_state(spark, sf_dir):
     )
 
 
-CDC_FINAL_STATE_SQL = """
-WITH ev AS (
-  SELECT event_id AS seq,
-         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
-         'u' || CAST(user_id AS VARCHAR) AS repo,
-         event_type AS path,
-         'c' || CAST(event_id AS VARCHAR) AS commit,
-         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
-              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
-              ELSE 'md' END AS lang,
-         props AS content
-  FROM events
+CDC_FINAL_STATE_SQL = f"""
+WITH ev AS ({_cdc_ev_cte()}
 ), win AS (
   SELECT *, row_number() OVER (PARTITION BY repo, path
                                ORDER BY seq DESC) AS rn
@@ -1228,44 +1262,17 @@ def schema_evolution_state(spark, sf_dir):
     Reference analogue: model-YAML v2 adds a property and the loader
     keeps loading (icdc_schema.py property map drives the columns).
     """
-    import tempfile
-
     from pyspark.sql import types as T
 
     from .plans.merge import read_state, table_schema
     from .repos import make_pipeline, repos_payload_schema
 
     ev = _t(spark, sf_dir, "events")
-    lang = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
-        ),
-        F.col("event_type"),
-    )
-    is_del = F.col("event_id") % 7 == 0
-
-    def mapped(df):
-        return df.select(
-            F.col("event_id").alias("seq"),
-            F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
-            .alias("op"),
-            F.concat(F.lit("u"), F.col("user_id").cast("string"))
-            .alias("repo"),
-            F.col("event_type").alias("path"),
-            F.when(is_del, F.lit(None).cast("string")).otherwise(
-                F.concat(F.lit("c"), F.col("event_id").cast("string"))
-            ).alias("commit"),
-            F.when(is_del, F.lit(None).cast("string")).otherwise(lang)
-            .alias("lang"),
-            F.when(is_del, F.lit(None).cast("string"))
-            .otherwise(F.col("props")).alias("content"),
-            (F.col("event_id") % 4).alias("batch_id"),
-            F.col("ts"),
-        )
-
-    root = tempfile.mkdtemp(prefix="schema_evo_")
-    early = mapped(ev.filter(F.col("event_id") % 2 == 0))
-    late = mapped(ev.filter(F.col("event_id") % 2 == 1)).withColumn(
+    root = _query_workdir("schema_evolution_state", sf_dir)
+    early = _cdc_mapped_events(ev.filter(F.col("event_id") % 2 == 0))
+    late = _cdc_mapped_events(
+        ev.filter(F.col("event_id") % 2 == 1)
+    ).withColumn(
         "stars",
         F.when(F.col("seq") % 7 == 0, F.lit(None).cast("long"))
         .otherwise(F.col("seq") % 97),
@@ -1289,20 +1296,12 @@ def schema_evolution_state(spark, sf_dir):
     )
 
 
-SCHEMA_EVOLUTION_SQL = """
-WITH ev AS (
-  SELECT event_id AS seq,
-         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
-         'u' || CAST(user_id AS VARCHAR) AS repo,
-         event_type AS path,
-         'c' || CAST(event_id AS VARCHAR) AS commit,
-         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
-              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
-              ELSE 'md' END AS lang,
-         props AS content,
-         CASE WHEN event_id % 2 = 1 THEN CAST(event_id % 97 AS BIGINT)
-              END AS stars
-  FROM events
+_STARS_COL = (
+    ", CASE WHEN event_id % 2 = 1 THEN CAST(event_id % 97 AS BIGINT)"
+    " END AS stars"
+)
+SCHEMA_EVOLUTION_SQL = f"""
+WITH ev AS ({_cdc_ev_cte(extra_cols=_STARS_COL)}
 ), win AS (
   SELECT *, row_number() OVER (PARTITION BY repo, path
                                ORDER BY seq DESC) AS rn
@@ -1328,36 +1327,11 @@ def incremental_changes(spark, sf_dir):
     analogue: consumers of the loader's graph reading what a load changed
     (visit/relationship audit stats, data_loader.py load metrics).
     """
-    import tempfile
-
     from .plans.merge import changes_between
     from .repos import make_pipeline
 
-    ev = _t(spark, sf_dir, "events")
-    lang = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in _LANG_BY_TYPE.items() for x in kv]
-        ),
-        F.col("event_type"),
-    )
-    is_del = F.col("event_id") % 7 == 0
-    mapped = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
-        .alias("op"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
-        F.col("event_type").alias("path"),
-        F.when(is_del, F.lit(None).cast("string")).otherwise(
-            F.concat(F.lit("c"), F.col("event_id").cast("string"))
-        ).alias("commit"),
-        F.when(is_del, F.lit(None).cast("string")).otherwise(lang)
-        .alias("lang"),
-        F.when(is_del, F.lit(None).cast("string"))
-        .otherwise(F.col("props")).alias("content"),
-        (F.col("event_id") % 4).alias("batch_id"),
-        F.col("ts"),
-    )
-    root = tempfile.mkdtemp(prefix="incr_changes_")
+    mapped = _cdc_mapped_events(_t(spark, sf_dir, "events"))
+    root = _query_workdir("incremental_changes", sf_dir)
     mapped.write.partitionBy("batch_id").parquet(f"{root}/binlog")
     pipe = make_pipeline(
         spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=3
@@ -1372,19 +1346,8 @@ def incremental_changes(spark, sf_dir):
     )
 
 
-INCREMENTAL_CHANGES_SQL = """
-WITH ev AS (
-  SELECT event_id AS seq,
-         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
-         'u' || CAST(user_id AS VARCHAR) AS repo,
-         event_type AS path,
-         'c' || CAST(event_id AS VARCHAR) AS commit,
-         CASE event_type WHEN 'error' THEN 'python' WHEN 'view' THEN 'go'
-              WHEN 'signup' THEN 'rust' WHEN 'click' THEN 'c'
-              ELSE 'md' END AS lang,
-         props AS content,
-         event_id % 4 AS batch
-  FROM events
+INCREMENTAL_CHANGES_SQL = f"""
+WITH ev AS ({_cdc_ev_cte()}
 ), s1 AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY repo, path

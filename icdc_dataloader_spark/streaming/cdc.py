@@ -207,22 +207,12 @@ class CDCPipeline:
         from pyspark.sql import Observation
 
         src_partitions = None
-        if (
+        spc = (
             self.source_partition_col
+            if self.source_partition_col
             and self.source_partition_col in batch_df.columns
-        ):
-            # per-source-partition max applied seq (tiny agg: one row per
-            # partition); the column is binlog metadata — dropped so it
-            # never reaches the lake schema
-            src_partitions = {
-                str(r["p"]): r["ms"]
-                for r in batch_df.groupBy(
-                    F.col(self.source_partition_col).alias("p")
-                )
-                .agg(F.max(self.seq_col).alias("ms"))
-                .collect()
-            }
-            batch_df = batch_df.drop(self.source_partition_col)
+            else None
+        )
 
         annotated = self._annotate(batch_df)
         ok = F.size("_errs") == 0
@@ -232,6 +222,22 @@ class CDCPipeline:
         )
 
         valid = annotated.filter(ok).drop("_errs")
+        if spc:
+            # per-source-partition max seq over APPLIED rows only (tiny
+            # agg: one row per partition).  Quarantined rows must not
+            # advance the watermark — the reference workflow fixes and
+            # re-submits them at their ORIGINAL seq, and a watermark that
+            # overran a quarantined seq could GC a tombstone the re-submit
+            # still needs (self-review round 4).  The column is binlog
+            # metadata: dropped here, never reaches the lake schema.
+            src_partitions = {
+                str(r["p"]): r["ms"]
+                for r in valid.groupBy(F.col(spc).alias("p"))
+                .agg(F.max(self.seq_col).alias("ms"))
+                .collect()
+                if r["ms"] is not None
+            }
+            valid = valid.drop(spc)
         tiebreakers = ["commit", "content_sha256"]
         if self.pre_dedup and self.strategy != "mor":  # mor dedups inside append
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from icdc_dataloader_spark.plans.merge import (
     changed_buckets,
     changes_between,
+    compact,
 )
 from icdc_dataloader_spark.repos import make_pipeline
 
@@ -93,3 +94,25 @@ def test_bucket_pruning_restricts_the_read(spark, tmp_path):
     assert 0 < len(touched) < n_buckets
     rows = changes_between(spark, pipe.lake, v1, v2).collect()
     assert [(r["repo"], r["change_type"]) for r in rows] == [("r5", "update")]
+
+
+def test_emptied_bucket_still_emits_deletes(spark, tmp_path):
+    """Round-4 self-review: a bucket whose files were all REMOVED between
+    the versions (tombstone GC'd + compacted to zero rows) must still be
+    diffed — an added-files-only bucket diff silently dropped its delete
+    events."""
+    pipe = make_pipeline(
+        spark, str(tmp_path / "lake"), n_buckets=2, strategy="mor",
+        compact_every=100,
+    )
+    _drain(spark, pipe, tmp_path, "d1", [_ev(1, "upsert", "rOnly")])
+    v1 = pipe.lake.latest_version()
+    _drain(spark, pipe, tmp_path, "d2", [_ev(2, "delete", "rOnly", 1)])
+    compact(spark, pipe.lake, drop_tombstones_below_seq=10_000)
+    v2 = pipe.lake.latest_version()
+    assert not pipe.lake.snapshot(v2)["files"]  # table fully emptied
+    assert changed_buckets(pipe.lake, v1, v2)   # removed files counted
+    rows = changes_between(spark, pipe.lake, v1, v2).collect()
+    assert [(r["repo"], r["change_type"]) for r in rows] == [
+        ("rOnly", "delete")
+    ]

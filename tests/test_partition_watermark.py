@@ -121,3 +121,26 @@ def test_source_watermarks_survive_restart_and_column_is_metadata(
     # watermarks persist across process restart (fresh ledger from disk)
     led2 = CheckpointLedger(pipe.ledger.root)
     assert led2.source_low_water() == {"A": 10, "B": 20}
+
+
+def test_quarantined_rows_do_not_advance_watermark(spark, tmp_path):
+    """Round-4 self-review: a validation-quarantined row's seq must not
+    advance its partition's watermark — the reference workflow fixes and
+    re-submits it at the ORIGINAL seq, and an overrun watermark could GC
+    a tombstone the re-submit still needs."""
+    root = str(tmp_path)
+    rows = [
+        _ev(10, "upsert", "rA", "A", 0),
+        # invalid lang -> quarantined, NOT applied; seq 99 must not
+        # become partition A's watermark
+        dict(seq=99, op="upsert", repo="rB", path="p", src="A",
+             commit="c99", lang="NOT_A_LANG", content="x", batch_id=0),
+    ]
+    d1 = _write(spark, root, "d1", rows)
+    pipe = make_pipeline(
+        spark, os.path.join(root, "out"), n_buckets=1, strategy="mor",
+        compact_every=1, late_horizon=0, source_partition_col="src",
+    )
+    res = pipe.run(spark.read.parquet(d1))
+    assert not res["quarantined"]  # batch applied (bad ROW quarantined)
+    assert pipe.ledger.source_low_water() == {"A": 10}
