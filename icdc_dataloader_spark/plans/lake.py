@@ -614,6 +614,24 @@ class LakeTable:
                             os.unlink(p)
                 if not any_live:
                     shutil.rmtree(full, ignore_errors=True)
+                else:
+                    # partial compactions supersede SOME of a version dir's
+                    # bucket subdirs: after their parquet is unlinked above,
+                    # drop the emptied _pb=N subtrees (marker files like
+                    # _SUCCESS/.crc included — a parquet-less subdir of a
+                    # data dir holds no data) so repeated partial
+                    # compactions don't accumulate empty directories
+                    for entry in os.listdir(full):
+                        sub = os.path.join(full, entry)
+                        if not os.path.isdir(sub):
+                            continue
+                        has_parquet = any(
+                            fn.endswith(".parquet")
+                            for _dp, _dirs, fns in os.walk(sub)
+                            for fn in fns
+                        )
+                        if not has_parquet:
+                            shutil.rmtree(sub, ignore_errors=True)
         if os.path.isdir(self.manifest_dir):
             for fn in os.listdir(self.manifest_dir):
                 rel = os.path.relpath(

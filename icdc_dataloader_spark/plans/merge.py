@@ -110,7 +110,15 @@ def resolve(
             if c in df.columns
         ]
         df = df.select(*needed)
-    if not lake.delta_files(version):
+    deltas = lake.delta_files(version)
+    if buckets is not None:
+        # bucket-targeted compaction makes mixed states the norm: a
+        # bucket-restricted read over delta-free buckets must not pay the
+        # tombstone-watermark join + LWW aggregation just because SOME
+        # OTHER bucket still holds deltas (advice round 4)
+        bset = set(buckets)
+        deltas = [f for f in deltas if f["bucket"] in bset]
+    if not deltas:
         return df
 
     order = _lww_order("_seq", lake.tiebreakers())
@@ -220,16 +228,36 @@ def changes_between(
         .filter(F.col("_op") != OP_DELETE)
         .select(*key_cols, F.col("_seq").alias("_new_seq"), *payload_cols)
     )
-    joined = new.join(old, key_cols, "full_outer")
+    # NULL-keyed rows are first-class in this lake (resolve joins tombstone
+    # watermarks with eqNullSafe above): the old/new states must be matched
+    # null-safely too, else a live NULL-keyed key present in both snapshots
+    # fails to match itself and double-reports as insert+delete
+    old = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols], "_old_seq"
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_ok_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = new.join(old, cond, "full_outer")
     change = (
         F.when(F.col("_old_seq").isNull(), F.lit("insert"))
         .when(F.col("_new_seq").isNull(), F.lit("delete"))
         .when(F.col("_new_seq") != F.col("_old_seq"), F.lit("update"))
     )
+    # delete rows carry the key from the OLD side only; a genuinely-NULL
+    # key component is NULL on whichever side matched, so the coalesce of a
+    # matched pair is that same value
+    key_out = [
+        F.when(F.col("_new_seq").isNull(), F.col(f"_ok_{k}"))
+        .otherwise(F.col(k))
+        .alias(k)
+        for k in key_cols
+    ]
     return (
         joined.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*key_cols, "change_type", *payload_cols)
+        .select(*key_out, "change_type", *payload_cols)
     )
 
 

@@ -195,13 +195,35 @@ class CDCPipeline:
             .withColumn("_bucket", bucket_expr(self.key_cols, self.lake.n_buckets()))
         )
 
+    def _heal_ledger(self, batch_df: DataFrame, bid: str) -> None:
+        """Re-record a batch the lake committed but the ledger missed
+        (crash between commit and record).  Metrics/lineage are lost —
+        conservative for watermarks (they simply don't advance) — but the
+        quarantine hold is SAFETY-critical and is recomputed here: without
+        it the GC watermark could overrun a quarantined seq and drop a
+        tombstone the fix-and-resubmit workflow still needs.  One
+        aggregation job on a rare crash-heal path."""
+        bad_min = None
+        try:
+            ann = self._annotate(batch_df)
+            bad_min = (
+                ann.filter(F.size("_errs") > 0)
+                .agg(F.min(self.seq_col).alias("m"))
+                .collect()[0]["m"]
+            )
+        except Exception:
+            pass  # unreadable batch: hold unrecoverable, record anyway
+        self.ledger.record(
+            bid, self.lake.snapshot()["version"], {}, {},
+            quarantined_min=bad_min,
+        )
+
     def apply_batch(self, batch_df: DataFrame, batch_id) -> dict:
         bid = str(batch_id)
         if self.lake.is_batch_committed(bid):
             # heal the ledger after a crash between commit and record
             if not self.ledger.is_applied(bid):
-                snap = self.lake.snapshot()
-                self.ledger.record(bid, snap["version"], {}, {})
+                self._heal_ledger(batch_df, bid)
             return {"batch_id": bid, "noop": True}
 
         from pyspark.sql import Observation
@@ -218,7 +240,11 @@ class CDCPipeline:
         ok = F.size("_errs") == 0
         obs = Observation()
         annotated = annotated.observe(
-            obs, F.sum(F.when(~ok, 1).otherwise(0)).alias("n_bad")
+            obs,
+            F.sum(F.when(~ok, 1).otherwise(0)).alias("n_bad"),
+            # min seq over quarantined rows: a GC-watermark hold (recorded
+            # in the ledger) — free, same observation the write job fills
+            F.min(F.when(~ok, F.col(self.seq_col))).alias("min_bad_seq"),
         )
 
         valid = annotated.filter(ok).drop("_errs")
@@ -228,7 +254,11 @@ class CDCPipeline:
             # advance the watermark — the reference workflow fixes and
             # re-submits them at their ORIGINAL seq, and a watermark that
             # overran a quarantined seq could GC a tombstone the re-submit
-            # still needs (self-review round 4).  The column is binlog
+            # still needs.  Exclusion alone is NOT sufficient when an
+            # applied row in the same partition has a higher seq: the
+            # ledger additionally records the batch's min quarantined seq
+            # as a hold that caps _gc_watermark until resolve_quarantined
+            # releases it (advice round 4).  The column is binlog
             # metadata: dropped here, never reaches the lake schema.
             src_partitions = {
                 str(r["p"]): r["ms"]
@@ -331,10 +361,12 @@ class CDCPipeline:
 
         metrics = dict(res["metrics"])
         metrics["rows_quarantined"] = n_errors
+        min_bad = obs.get.get("min_bad_seq") if n_errors else None
         with timers.phase("ledger.record"):
             self.ledger.record(
                 bid, res["version"], metrics, lineage,
                 src_partitions=src_partitions,
+                quarantined_min=min_bad,
             )
         return {
             "batch_id": bid,
@@ -384,7 +416,23 @@ class CDCPipeline:
         if not lw:
             return None
         wm = min(lw.values()) - self.late_horizon
-        return min(wm, min(pending)) if pending else wm
+        if pending:
+            wm = min(wm, min(pending))
+        # exact bound #2: outstanding row-level quarantined rows.  The
+        # fix-and-resubmit workflow re-applies them at their ORIGINAL seq;
+        # excluding them from the per-partition max is not enough when an
+        # APPLIED row in the same partition carries a higher seq (advice
+        # round 4) — the hold persists in the ledger until
+        # resolve_quarantined() releases it.
+        qf = self.ledger.quarantine_floor()
+        return min(wm, qf) if qf is not None else wm
+
+    def resolve_quarantined(self, batch_id) -> bool:
+        """Release batch ``batch_id``'s row-quarantine GC hold — call after
+        its fixed rows were re-submitted (and applied) or dropped for
+        good.  Until then the tombstone-GC watermark stays below the
+        batch's min quarantined seq."""
+        return self.ledger.resolve_quarantined(batch_id)
 
     @staticmethod
     def _partition_files(events: DataFrame, batch_col: str) -> dict:
@@ -520,10 +568,12 @@ class CDCPipeline:
             if str(bid) in committed:
                 # heal the ledger after a crash between snapshot commit and
                 # ledger record (same as apply_batch's no-op path, which a
-                # skipped batch never reaches)
+                # skipped batch never reaches) — recomputes the batch's
+                # quarantine hold, see _heal_ledger
                 if not self.ledger.is_applied(bid):
-                    self.ledger.record(
-                        bid, self.lake.snapshot()["version"], {}, {}
+                    self._heal_ledger(
+                        events.filter(F.col(batch_col) == bid).drop(batch_col),
+                        str(bid),
                     )
                 continue
             if self.ledger.is_quarantined(bid):

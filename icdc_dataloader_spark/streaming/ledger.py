@@ -58,6 +58,14 @@ class CheckpointLedger:
             # when the pipeline passes src_partitions — see
             # CDCPipeline(source_partition_col=...))
             "source_low_water": {},
+            # batch_id -> min seq of that batch's row-level quarantined
+            # (validation-failed) rows.  An outstanding entry caps the
+            # tombstone-GC watermark: the documented workflow re-submits
+            # fixed rows at their ORIGINAL seq, so a tombstone above that
+            # seq must survive until the hold is released
+            # (resolve_quarantined) or it could be GC'd and the re-submit
+            # would resurrect the deleted row.
+            "quarantined_rows": {},
             "segments": {},  # seg name -> records folded into this head
         }
 
@@ -133,6 +141,10 @@ class CheckpointLedger:
             cur = slw.get(part)
             if cur is None or ms > cur:
                 slw[part] = ms
+        if line.get("quarantined_min") is not None:
+            head.setdefault("quarantined_rows", {})[line["batch_id"]] = line[
+                "quarantined_min"
+            ]
         head["failures"].pop(line["batch_id"], None)
         return True
 
@@ -267,6 +279,7 @@ class CheckpointLedger:
     def record(
         self, batch_id, version: int, metrics: dict,
         lineage: dict | None = None, src_partitions: dict | None = None,
+        quarantined_min=None,
     ) -> None:
         head = self._load_head()
         bid = str(batch_id)
@@ -282,6 +295,8 @@ class CheckpointLedger:
             line["src_partitions"] = {
                 str(k): v for k, v in src_partitions.items()
             }
+        if quarantined_min is not None:
+            line["quarantined_min"] = int(quarantined_min)
         seg = self._current_segment(head)
         with open(os.path.join(self.seg_dir, seg), "a") as fh:
             fh.write(json.dumps(line) + "\n")
@@ -326,3 +341,35 @@ class CheckpointLedger:
         records src_partitions).  min(values) bounds every future event
         under per-partition monotone appends."""
         return dict(self._load_head().get("source_low_water", {}))
+
+    # -- row-level quarantine holds (tombstone-GC safety) --------------------
+
+    def quarantine_holds(self) -> dict:
+        """{batch_id: min quarantined seq} for every batch with outstanding
+        row-level quarantined (validation-failed) rows."""
+        return dict(self._load_head().get("quarantined_rows", {}))
+
+    def quarantine_floor(self):
+        """Min seq over all outstanding quarantined rows, or None.
+
+        The tombstone-GC watermark must not pass this: the documented
+        fix-and-resubmit workflow re-applies a quarantined row at its
+        ORIGINAL seq, and a tombstone with a higher seq must still be
+        present to beat it (advice round 4: a quarantined seq BELOW the
+        partition's applied max otherwise let the watermark overrun it).
+        """
+        holds = self._load_head().get("quarantined_rows", {})
+        return min(holds.values()) if holds else None
+
+    def resolve_quarantined(self, batch_id) -> bool:
+        """Release a batch's quarantine hold after its rows were re-applied
+        (fixed re-submit landed) or dropped.  Returns True if a hold
+        existed.  Persisted, so the release survives crash/resume."""
+        head = self._load_head()
+        existed = (
+            head.setdefault("quarantined_rows", {}).pop(str(batch_id), None)
+            is not None
+        )
+        if existed:
+            self._save_head(head)
+        return existed

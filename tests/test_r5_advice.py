@@ -1,0 +1,320 @@
+"""Round-5 fixes for the round-4 VERDICT/ADVICE findings:
+
+1. changes_between must match NULL-keyed rows null-safely (the one known
+   wrong answer: a live NULL-keyed key present in both snapshots
+   double-reported as insert+delete).
+2. Row-level quarantine must place a persistent GC-watermark HOLD: when a
+   quarantined seq is BELOW an applied seq in the same source partition,
+   excluding it from the per-partition max is not enough — the watermark
+   still overruns it and a tombstone needed by the fix-and-resubmit
+   workflow can be GC'd (resurrecting a deleted row).
+3. resolve(buckets=...) must skip the LWW aggregation when none of the
+   REQUESTED buckets holds a delta (mixed COW/MoR states are the norm
+   under bucket-targeted compaction).
+4. vacuum must drop emptied bucket subdirectories left behind by partial
+   compactions (file-granularity unlink kept marker files + empty dirs
+   forever).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from icdc_dataloader_spark.plans.merge import (
+    append_delta,
+    changes_between,
+    compact,
+    read_state,
+    resolve,
+)
+from icdc_dataloader_spark.repos import TIEBREAKERS, create_repos_table, make_pipeline
+from icdc_dataloader_spark.streaming.ledger import CheckpointLedger
+
+EVENT_SCHEMA = (
+    "repo string, path string, commit string, lang string,"
+    " content string, content_sha256 string, _seq long, _op string"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def _up(repo, path, seq):
+    return (repo, path, f"c{seq}", "py", f"v{seq}", f"h{seq}", seq, "upsert")
+
+
+def _del(repo, path, seq):
+    return (repo, path, None, None, None, None, seq, "delete")
+
+
+# --------------------------------------------------------------------------
+# 1. NULL-keyed change feed (VERDICT round 4 "What's wrong" #1)
+# --------------------------------------------------------------------------
+
+
+def test_changes_between_null_key(spark, tmp_path):
+    """A NULL-keyed key (path IS NULL) must behave exactly like any other
+    key in the feed: silent when unchanged, one row when updated, one
+    delete row (with the key preserved) when deleted."""
+    lake = create_repos_table(str(tmp_path / "repos"), n_buckets=1)
+    append_delta(
+        spark, lake,
+        _batch(spark, [_up("rN", None, 1), _up("rO", "p", 2)]),
+        tiebreakers=TIEBREAKERS, batch_id="b1",
+    )
+    v1 = lake.latest_version()
+
+    # rO updated, rN (NULL path) untouched -> rN must be SILENT
+    append_delta(
+        spark, lake, _batch(spark, [_up("rO", "p", 10)]),
+        tiebreakers=TIEBREAKERS, batch_id="b2",
+    )
+    v2 = lake.latest_version()
+    rows = changes_between(spark, lake, v1, v2).collect()
+    assert [(r["repo"], r["path"], r["change_type"]) for r in rows] == [
+        ("rO", "p", "update")
+    ], "unchanged NULL-keyed row must not double-report as insert+delete"
+
+    # rN updated -> exactly one update row, NULL key preserved
+    append_delta(
+        spark, lake, _batch(spark, [_up("rN", None, 11)]),
+        tiebreakers=TIEBREAKERS, batch_id="b3",
+    )
+    v3 = lake.latest_version()
+    rows = changes_between(spark, lake, v2, v3).collect()
+    assert [(r["repo"], r["path"], r["change_type"], r["commit"]) for r in rows] == [
+        ("rN", None, "update", "c11")
+    ]
+
+    # rN deleted -> one delete row, key coalesced from the OLD side
+    append_delta(
+        spark, lake, _batch(spark, [_del("rN", None, 12)]),
+        tiebreakers=TIEBREAKERS, batch_id="b4",
+    )
+    v4 = lake.latest_version()
+    rows = changes_between(spark, lake, v3, v4).collect()
+    assert [(r["repo"], r["path"], r["change_type"], r["commit"]) for r in rows] == [
+        ("rN", None, "delete", None)
+    ]
+
+    # NULL-keyed insert for completeness
+    append_delta(
+        spark, lake, _batch(spark, [_up("rM", None, 13)]),
+        tiebreakers=TIEBREAKERS, batch_id="b5",
+    )
+    v5 = lake.latest_version()
+    rows = changes_between(spark, lake, v4, v5).collect()
+    assert [(r["repo"], r["path"], r["change_type"]) for r in rows] == [
+        ("rM", None, "insert")
+    ]
+
+
+# --------------------------------------------------------------------------
+# 2. Quarantine GC-watermark hold (ADVICE medium)
+# --------------------------------------------------------------------------
+
+
+def _write_binlog(spark, root, name, rows):
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.Timestamp("2024-01-01").as_unit("us")
+    spark.createDataFrame(pdf).write.partitionBy("batch_id").parquet(
+        os.path.join(root, name)
+    )
+    return os.path.join(root, name)
+
+
+def _ev(seq, op, repo, batch_id, lang="python"):
+    return dict(
+        seq=seq, op=op, repo=repo, path="p", src="A",
+        commit=None if op == "delete" else f"c{seq}",
+        lang=None if op == "delete" else lang,
+        content=None if op == "delete" else f"v{seq}",
+        batch_id=batch_id,
+    )
+
+
+def test_quarantine_hold_recorded_and_persisted(spark, tmp_path):
+    """A batch with a quarantined row at seq 5 and an APPLIED row at seq 10
+    (same source partition) must leave a persistent hold at 5, even though
+    the partition watermark itself reads 10."""
+    root = str(tmp_path)
+    d1 = _write_binlog(spark, root, "d1", [
+        _ev(10, "upsert", "rA", 0),
+        _ev(5, "upsert", "rQ", 0, lang="NOT_A_LANG"),  # quarantined
+    ])
+    pipe = make_pipeline(
+        spark, os.path.join(root, "out"), n_buckets=1, strategy="mor",
+        compact_every=100, late_horizon=0, source_partition_col="src",
+    )
+    res = pipe.run(spark.read.parquet(d1))
+    assert not res["quarantined"]  # row-level quarantine, batch applied
+    assert pipe.ledger.source_low_water() == {"A": 10}
+    assert pipe.ledger.quarantine_holds() == {"0": 5}
+    assert pipe.ledger.quarantine_floor() == 5
+    # survives process restart
+    led2 = CheckpointLedger(pipe.ledger.root)
+    assert led2.quarantine_holds() == {"0": 5}
+    # release lifts the hold, persistently
+    assert pipe.resolve_quarantined(0)
+    assert pipe.ledger.quarantine_floor() is None
+    assert CheckpointLedger(pipe.ledger.root).quarantine_holds() == {}
+    assert not pipe.resolve_quarantined(0)  # idempotent
+
+
+def test_quarantine_hold_prevents_tombstone_resurrection(spark, tmp_path):
+    """End-to-end ADVICE scenario: quarantined upsert (rK, seq 5) below an
+    applied seq 10; tombstone (rK, seq 7).  A later drain's GC must NOT
+    drop the tombstone, so the fixed re-submit at seq 5 still loses LWW
+    and rK stays dead."""
+    root = str(tmp_path)
+    pipe = make_pipeline(
+        spark, os.path.join(root, "out"), n_buckets=1, strategy="mor",
+        compact_every=1, late_horizon=0, source_partition_col="src",
+    )
+    d1 = _write_binlog(spark, root, "d1", [
+        _ev(2, "upsert", "rK", 0),
+        _ev(7, "delete", "rK", 1),
+        _ev(5, "upsert", "rK", 1, lang="NOT_A_LANG"),  # quarantined
+        _ev(10, "upsert", "rOther", 1),
+    ])
+    pipe.run(spark.read.parquet(d1))
+    assert pipe.ledger.quarantine_holds() == {"1": 5}
+
+    # next drain: applied max 20 everywhere; without the hold the GC
+    # watermark would reach 20 and drop the seq-7 tombstone
+    d2 = _write_binlog(spark, root, "d2", [_ev(20, "upsert", "rFill", 2)])
+    pipe.run(spark.read.parquet(d2))
+    live = lambda: {
+        r["repo"] for r in read_state(spark, pipe.lake).select("repo").collect()
+    }
+    assert live() == {"rOther", "rFill"}
+
+    # fixed re-submit at the ORIGINAL seq: must lose to the tombstone
+    d3 = _write_binlog(spark, root, "d3", [_ev(5, "upsert", "rK", 3)])
+    pipe.run(spark.read.parquet(d3))
+    assert live() == {"rOther", "rFill"}, (
+        "re-submitted seq-5 upsert must still lose to the seq-7 tombstone"
+    )
+    # workflow complete: release the hold; later GC may now advance
+    pipe.resolve_quarantined(1)
+    d4 = _write_binlog(spark, root, "d4", [_ev(30, "upsert", "rZ", 4)])
+    pipe.run(spark.read.parquet(d4))
+    assert live() == {"rOther", "rFill", "rZ"}
+
+
+def test_crash_heal_recomputes_quarantine_hold(spark, tmp_path):
+    """Crash between lake commit and ledger record: the heal path must
+    recompute the batch's quarantine hold, not record an empty line."""
+    root = str(tmp_path)
+    d1 = _write_binlog(spark, root, "d1", [
+        _ev(10, "upsert", "rA", 0),
+        _ev(5, "upsert", "rQ", 0, lang="NOT_A_LANG"),
+    ])
+    pipe = make_pipeline(
+        spark, os.path.join(root, "out"), n_buckets=1, strategy="mor",
+        compact_every=100, late_horizon=0, source_partition_col="src",
+    )
+    orig = pipe.ledger.record
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected: crash before ledger record")
+
+    pipe.ledger.record = crash
+    events = spark.read.parquet(d1)
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.apply_batch(events.filter(F.col("batch_id") == 0).drop("batch_id"), 0)
+    assert pipe.lake.is_batch_committed("0")  # lake committed, ledger didn't
+    pipe.ledger.record = orig
+
+    res = pipe.run(events)  # committed branch -> heal
+    assert not res["quarantined"]
+    assert pipe.ledger.is_applied("0")
+    assert pipe.ledger.quarantine_holds() == {"0": 5}
+
+
+# --------------------------------------------------------------------------
+# 3. resolve(buckets=...) short-circuit over delta-free buckets
+# --------------------------------------------------------------------------
+
+
+def test_resolve_bucket_restricted_skips_lww_when_delta_free(spark, tmp_path):
+    lake = create_repos_table(str(tmp_path / "repos"), n_buckets=8)
+    rows = [_up(f"r{i}", "p", i + 1) for i in range(40)]
+    append_delta(spark, lake, _batch(spark, rows),
+                 tiebreakers=TIEBREAKERS, batch_id="b1")
+    compact(spark, lake)  # all-base state
+    append_delta(spark, lake, _batch(spark, [_up("r1", "p", 100)]),
+                 tiebreakers=TIEBREAKERS, batch_id="b2")
+
+    touched = {f["bucket"] for f in lake.delta_files()}
+    assert touched and len(touched) < 8
+    free = [b for b in range(8) if b not in touched]
+
+    fast = resolve(spark, lake, buckets=free)
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, (
+        "delta-free bucket read must not pay the LWW aggregation"
+    )
+    slow = resolve(spark, lake, buckets=sorted(touched))
+    slow_plan = slow._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in slow_plan  # sanity: deltas still resolve
+
+    # correctness unchanged: union of both == full resolve
+    full = {
+        (r["repo"], r["commit"])
+        for r in resolve(spark, lake).select("repo", "commit").collect()
+    }
+    split = {
+        (r["repo"], r["commit"])
+        for r in fast.select("repo", "commit")
+        .unionByName(slow.select("repo", "commit")).collect()
+    }
+    assert split == full
+    assert ("r1", "c100") in full
+
+
+# --------------------------------------------------------------------------
+# 4. vacuum drops emptied bucket subdirectories
+# --------------------------------------------------------------------------
+
+
+def test_vacuum_removes_emptied_bucket_subdirs(spark, tmp_path):
+    """Partial (bucket-targeted) compaction supersedes some of a version
+    dir's bucket subdirs; after vacuum unlinks their parquet, the emptied
+    subtrees (incl. marker files) must be gone — and every surviving
+    subdir must still hold live parquet."""
+    pipe = make_pipeline(
+        spark, str(tmp_path / "out"), n_buckets=8, strategy="mor",
+        compact_every=100, late_horizon=0,
+    )
+    root = str(tmp_path)
+    d1 = _write_binlog(
+        spark, root, "d1",
+        [_ev(i + 1, "upsert", f"r{i}", 0) for i in range(40)],
+    )
+    pipe.run(spark.read.parquet(d1))
+    compact(spark, pipe.lake)  # base across all buckets
+    # delta touching a single key -> partial compaction rewrites its bucket
+    d2 = _write_binlog(spark, root, "d2", [_ev(100, "upsert", "r1", 1)])
+    pipe.run(spark.read.parquet(d2))
+    compact(spark, pipe.lake, min_delta_files=1)
+
+    before = read_state(spark, pipe.lake).count()
+    pipe.lake.vacuum(keep_last=1)
+
+    data_root = os.path.join(pipe.lake.root, "data")
+    for vdir in os.listdir(data_root):
+        for entry in os.listdir(os.path.join(data_root, vdir)):
+            sub = os.path.join(data_root, vdir, entry)
+            if not os.path.isdir(sub):
+                continue
+            has_parquet = any(
+                fn.endswith(".parquet")
+                for _dp, _dirs, fns in os.walk(sub)
+                for fn in fns
+            )
+            assert has_parquet, f"emptied subdir survived vacuum: {sub}"
+    assert read_state(spark, pipe.lake).count() == before
