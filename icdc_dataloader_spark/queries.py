@@ -1375,3 +1375,101 @@ WHERE s1.repo IS NULL OR s2.repo IS NULL OR s1.seq <> s2.seq
 
 QUERIES["incremental_changes"] = incremental_changes
 ORACLES["incremental_changes"] = INCREMENTAL_CHANGES_SQL
+
+
+def changes_across_gc(spark, sf_dir):
+    """Change feed across a GC/compaction boundary (round-4 VERDICT #2):
+    the window (v_from, v_to] contains a delete wave that tombstones EVERY
+    key, one re-insert, and a full compaction whose tombstone GC empties
+    most buckets to ZERO files.  changed_buckets must therefore include
+    removed-file-only buckets (asserted in-query) and the feed must still
+    report one delete per formerly-live key — the round-4 self-review bug
+    class (an added-files-only manifest diff silently dropped exactly
+    these) now oracle-checked end-to-end at sf volume.
+
+    Deterministic construction (DuckDB replays it arithmetically):
+
+    - phase 1: drain arrival-shuffled batches 0-1 of the mapped event
+      stream -> v_from (same mapping as incremental_changes);
+    - phase 2: drain batches 2-3, then one delete per DISTINCT key of the
+      whole stream at seq 10^9 (LWW: beats everything), then a single
+      re-insert ('u1','view') at seq 2*10^9, then compact with the GC
+      watermark above all tombstones -> v_to.
+
+    Expected feed: 'delete' for every key live at v_from except
+    ('u1','view') which reads 'update' (or 'insert' if it wasn't live);
+    keys born and killed inside the window stay silent.
+    """
+    from .plans.merge import changed_buckets, changes_between, compact
+    from .repos import make_pipeline
+
+    mapped = _cdc_mapped_events(_t(spark, sf_dir, "events"))
+    root = _query_workdir("changes_across_gc", sf_dir)
+    mapped.write.partitionBy("batch_id").parquet(f"{root}/binlog")
+    pipe = make_pipeline(
+        spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=3
+    )
+    binlog = spark.read.parquet(f"{root}/binlog")
+    r1 = pipe.run(binlog, max_batches=2)
+    v_from = pipe.lake.latest_version()
+    r2 = pipe.run(binlog)
+
+    nulls = [F.lit(None).cast("string").alias(c)
+             for c in ("commit", "lang", "content")]
+    wave = (
+        mapped.select("repo", "path").distinct()
+        .select(
+            F.lit(1_000_000_000).alias("seq"), F.lit("delete").alias("op"),
+            "repo", "path", *nulls, F.lit(4).alias("batch_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        .unionByName(spark.sql("""
+            SELECT CAST(2000000000 AS BIGINT) seq, 'upsert' op,
+                   'u1' repo, 'view' path, 'cReborn' commit, 'go' lang,
+                   'reborn' content, 5 batch_id, CAST(NULL AS TIMESTAMP) ts
+        """))
+    )
+    wave.write.partitionBy("batch_id").parquet(f"{root}/wave")
+    r3 = pipe.run(spark.read.parquet(f"{root}/wave"))
+    assert not (r1.get("quarantined") or r2.get("quarantined")
+                or r3.get("quarantined"))
+    compact(spark, pipe.lake, drop_tombstones_below_seq=3_000_000_000)
+    v_to = pipe.lake.latest_version()
+
+    bks = changed_buckets(pipe.lake, v_from, v_to)
+    at_to = {f["bucket"] for f in pipe.lake.snapshot(v_to)["files"]}
+    removed_only = [b for b in bks if b not in at_to]
+    assert removed_only, (
+        "GC boundary must leave removed-file-only buckets in the diff"
+    )
+    return changes_between(spark, pipe.lake, v_from, v_to).select(
+        "repo", "path", "change_type", "commit", "lang", "content_sha256"
+    )
+
+
+CHANGES_ACROSS_GC_SQL = f"""
+WITH ev AS ({_cdc_ev_cte()}
+), s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY seq DESC) AS rn
+    FROM ev WHERE batch <= 1
+  ) WHERE rn = 1 AND op = 'upsert'
+), s2 AS (
+  SELECT CAST(2000000000 AS BIGINT) AS seq, 'u1' AS repo, 'view' AS path,
+         'cReborn' AS commit, 'go' AS lang, 'reborn' AS content
+)
+SELECT COALESCE(s2.repo, s1.repo) AS repo,
+       COALESCE(s2.path, s1.path) AS path,
+       CASE WHEN s1.repo IS NULL THEN 'insert'
+            WHEN s2.repo IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       s2.commit AS commit, s2.lang AS lang,
+       sha256(s2.content) AS content_sha256
+FROM s2 FULL OUTER JOIN s1
+  ON s1.repo = s2.repo AND s1.path = s2.path
+WHERE s1.repo IS NULL OR s2.repo IS NULL OR s1.seq <> s2.seq
+"""
+
+QUERIES["changes_across_gc"] = changes_across_gc
+ORACLES["changes_across_gc"] = CHANGES_ACROSS_GC_SQL

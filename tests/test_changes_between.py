@@ -116,3 +116,114 @@ def test_emptied_bucket_still_emits_deletes(spark, tmp_path):
     assert [(r["repo"], r["change_type"]) for r in rows] == [
         ("rOnly", "delete")
     ]
+
+
+def test_feed_across_added_column(spark, tmp_path):
+    """Round-4 VERDICT #5: a column added between v_from and v_to — feed
+    rows whose winner PREDATES the evolution read the new column as NULL
+    (from the original files, no rewrite); post-evolution winners carry
+    values."""
+    from pyspark.sql import types as T
+
+    from icdc_dataloader_spark.plans.merge import append_delta, table_schema
+    from icdc_dataloader_spark.repos import (
+        TIEBREAKERS,
+        create_repos_table,
+        repos_payload_schema,
+    )
+
+    lake = create_repos_table(str(tmp_path / "repos"), n_buckets=2)
+    base = ("repo string, path string, commit string, lang string,"
+            " content string, content_sha256 string, _seq long, _op string")
+
+    def up(repo, seq):
+        return (repo, "p", f"c{seq}", "py", f"v{seq}", f"h{seq}", seq, "upsert")
+
+    append_delta(spark, lake, spark.createDataFrame([up("rA", 1)], base),
+                 tiebreakers=TIEBREAKERS, batch_id="b1")
+    v1 = lake.latest_version()
+    # pre-evolution update for rA, pre-evolution insert for rB
+    append_delta(spark, lake,
+                 spark.createDataFrame([up("rA", 2), up("rB", 3)], base),
+                 tiebreakers=TIEBREAKERS, batch_id="b2")
+    files_before = {f["path"] for f in lake.snapshot()["files"]}
+    lake.evolve_schema(
+        table_schema(repos_payload_schema().add("stars", T.LongType()))
+    )
+    # metadata-only evolution: no data rewrite
+    assert {f["path"] for f in lake.snapshot()["files"]} == files_before
+    # post-evolution insert carrying the new column
+    wide = base + ", stars long"
+    append_delta(
+        spark, lake,
+        spark.createDataFrame([("rC", "p", "c4", "py", "v4", "h4", 4,
+                                "upsert", 42)], wide),
+        tiebreakers=TIEBREAKERS, batch_id="b3",
+    )
+    v2 = lake.latest_version()
+
+    rows = {
+        r["repo"]: (r["change_type"], r["stars"])
+        for r in changes_between(spark, lake, v1, v2)
+        .select("repo", "change_type", "stars").collect()
+    }
+    assert rows == {
+        "rA": ("update", None),   # pre-evolution winner -> NULL stars
+        "rB": ("insert", None),
+        "rC": ("insert", 42),
+    }
+
+
+def test_feed_across_type_widen(spark, tmp_path):
+    """v_from predates an int->double widen: the feed reads every payload
+    at schema(v_to) — pre-widen long winners cast to double losslessly."""
+    from pyspark.sql import types as T
+
+    from icdc_dataloader_spark.plans.lake import LakeTable
+    from icdc_dataloader_spark.plans.merge import append_delta, table_schema
+    from icdc_dataloader_spark.repos import TIEBREAKERS, repos_payload_schema
+
+    payload = repos_payload_schema().add("stars", T.LongType())
+    lake = LakeTable.create(
+        str(tmp_path / "repos"), table_schema(payload),
+        ["repo", "path"], n_buckets=2, tiebreakers=TIEBREAKERS,
+    )
+    sch = ("repo string, path string, commit string, lang string,"
+           " content string, content_sha256 string, stars long,"
+           " _seq long, _op string")
+
+    def up(repo, seq, stars):
+        return (repo, "p", f"c{seq}", "py", f"v{seq}", f"h{seq}", stars,
+                seq, "upsert")
+
+    append_delta(spark, lake,
+                 spark.createDataFrame([up("rA", 1, 7), up("rB", 2, 9)], sch),
+                 tiebreakers=TIEBREAKERS, batch_id="b1")
+    v1 = lake.latest_version()
+    lake.evolve_schema(
+        table_schema(repos_payload_schema().add("stars", T.DoubleType()))
+    )
+    schd = sch.replace("stars long", "stars double")
+    append_delta(
+        spark, lake,
+        spark.createDataFrame([up("rA", 3, 2.5)], schd),
+        tiebreakers=TIEBREAKERS, batch_id="b2",
+    )
+    v2 = lake.latest_version()
+
+    feed = changes_between(spark, lake, v1, v2)
+    assert dict(feed.dtypes)["stars"] == "double"
+    rows = {
+        r["repo"]: (r["change_type"], r["stars"])
+        for r in feed.select("repo", "change_type", "stars").collect()
+    }
+    # rB unchanged -> silent even though its stored stars is pre-widen long
+    assert rows == {"rA": ("update", 2.5)}
+
+    # and a full-table feed from version 0 surfaces the widened old value
+    rows0 = {
+        r["repo"]: (r["change_type"], r["stars"])
+        for r in changes_between(spark, lake, 0, v2)
+        .select("repo", "change_type", "stars").collect()
+    }
+    assert rows0 == {"rA": ("insert", 2.5), "rB": ("insert", 9.0)}
