@@ -122,21 +122,17 @@ def hardware_baseline(low: int, high: int) -> dict:
             "speedup": hi_rate / lo_rate}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=8_000_000)
-    ap.add_argument("--low", type=int, default=2)
-    ap.add_argument("--high", type=int, default=8)
-    ap.add_argument("--compact-every", type=int, default=4)
-    args = ap.parse_args()
-
-    workdir = tempfile.mkdtemp(prefix="cdc_scaling_")
-    zpath = build_pyfiles_zip(workdir)
-    events = generate_events(workdir, args.events)
-
-    # interleave levels and repeat: the VM's deliverable CPU drifts over
-    # minutes, so A,B,A,B with best-of pairing is drift-robust
-    hw = hardware_baseline(args.low, args.high)
+def measure_window(args, events, workdir, zpath) -> dict:
+    """One measurement window, hardware-BRACKETED: sha256-burn baseline
+    before AND after the pair of Spark runs.  ``bracket`` = min/max of
+    the two baseline speedups — how stable this VM's deliverable CPU was
+    across the window.  A window whose bracket is below the validity
+    threshold measured the VM's drift, not the engine, and must be
+    rejected (rounds 2-4 applied this protocol by hand; it is now
+    enforced here so BENCH entries are self-validating)."""
+    hw_a = hardware_baseline(args.low, args.high)
+    # A,B,A,B inside the bracket with best-of pairing (the rounds-2-4
+    # protocol): one slow outlier run must not decide the ratio
     lo = run_level(args.low, events, workdir, zpath, args.compact_every)
     hi = run_level(args.high, events, workdir, zpath, args.compact_every)
     lo2 = run_level(args.low, events, workdir, zpath, args.compact_every)
@@ -145,12 +141,73 @@ def main():
         lo = lo2
     if hi2["elapsed_sec"] < hi["elapsed_sec"]:
         hi = hi2
-    hw2 = hardware_baseline(args.low, args.high)
-    if hw2["speedup"] > hw["speedup"]:
-        hw = hw2
+    hw_b = hardware_baseline(args.low, args.high)
+    bracket = min(hw_a["speedup"], hw_b["speedup"]) / max(
+        hw_a["speedup"], hw_b["speedup"]
+    )
     ratio = args.high / args.low
-    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
-    hw_eff = hw["speedup"] / ratio
+    hw_speedup = (hw_a["speedup"] + hw_b["speedup"]) / 2
+    return {
+        "lo": lo,
+        "hi": hi,
+        "bracket": round(bracket, 3),
+        "hw": {"speedup": hw_speedup,
+               "before": round(hw_a["speedup"], 3),
+               "after": round(hw_b["speedup"], 3)},
+        "eff": (hi["events_per_sec"] / lo["events_per_sec"]) / ratio,
+        "hw_eff": hw_speedup / ratio,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=8_000_000)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--compact-every", type=int, default=4)
+    ap.add_argument("--min-bracket", type=float, default=0.95,
+                    help="hardware-bracket validity threshold")
+    ap.add_argument("--max-windows", type=int, default=3,
+                    help="retry budget for drift-invalidated windows")
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="cdc_scaling_")
+    zpath = build_pyfiles_zip(workdir)
+    events = generate_events(workdir, args.events)
+
+    # bracket protocol: each window is sha-burn -> lo -> hi -> sha-burn;
+    # a window is VALID only if the two burns agree within min-bracket.
+    # Invalid windows are retried (the VM's deliverable CPU drifts over
+    # minutes); if every window is invalid the script exits nonzero and
+    # records nothing — an unmeasurable night must not look like data.
+    rejected = []
+    win = None
+    for _ in range(args.max_windows):
+        w = measure_window(args, events, workdir, zpath)
+        if w["bracket"] >= args.min_bracket:
+            win = w
+            break
+        rejected.append(w["bracket"])
+        sys.stderr.write(
+            f"window rejected: hardware bracket {w['bracket']:.3f} < "
+            f"{args.min_bracket} (burn speedup {w['hw']['before']} -> "
+            f"{w['hw']['after']}); retrying\n"
+        )
+    if win is None:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
+        sys.stderr.write(
+            f"NO VALID WINDOW in {args.max_windows} attempts "
+            f"(brackets: {rejected}) — refusing to record a number "
+            "measured through VM drift\n"
+        )
+        sys.exit(1)
+
+    lo, hi = win["lo"], win["hi"]
+    ratio = args.high / args.low
+    eff, hw_eff = win["eff"], win["hw_eff"]
+    hw = win["hw"]
 
     md = f"""# BENCH — CDC pipeline scaling evidence
 
@@ -159,8 +216,12 @@ executors.  No real cluster exists in this sandbox; per driver instruction
 the same job ran at two local parallelism levels (cold JVM each,
 `spark-submit --py-files`, identical pre-generated input, JIT warmed up on
 a 50k-event throwaway slice before timing so the number is steady-state
-throughput, not JVM cold start; levels interleaved A,B,A,B and best-of-2 per level
-— the VM's deliverable CPU drifts over minutes).  N={args.low}, 4N={args.high} (this VM's
+throughput, not JVM cold start).  Window validity is now ENFORCED by the
+script (round-5): each window is sha256-burn -> lo -> hi -> sha256-burn,
+valid only if the burns' speedups agree within {args.min_bracket}
+(this window's bracket: {win['bracket']}; rejected windows: {rejected or 'none'});
+with no valid window the script exits nonzero instead of recording one.
+N={args.low}, 4N={args.high} (this VM's
 vCPUs throttle per-core as more engage — see the hardware baseline below —
 so the criterion is evidenced in the regime where the hardware itself can
 scale; on a real cluster executors have isolated cores and this ceiling
@@ -187,6 +248,16 @@ CPUs physically deliver between the two levels.
 Raw: low={json.dumps(lo)} high={json.dumps(hi)}
 hw={json.dumps({k: round(v, 1) for k, v in hw.items()})}
 """
+    import shutil
+
+    # a full attempt leaves ~5-7 GB of events+lakes in the workdir; past
+    # rounds' leftovers filled the disk (round-5: 70 GB of dead workdirs,
+    # ENOSPC mid-bench) — reclaim ours and any dead siblings now
+    shutil.rmtree(workdir, ignore_errors=True)
+    for d in os.listdir(tempfile.gettempdir()):
+        if d.startswith("cdc_scaling_"):
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
+                          ignore_errors=True)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     target = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(target):

@@ -451,6 +451,7 @@ def append_delta(
     touched: list[int] | None = None,
     has_new: bool | None = None,
     colocate: bool = True,
+    colocate_salt: int = 1,
 ) -> dict:
     """MoR apply: write the batch as delta files — NO base rewrite.
 
@@ -507,7 +508,21 @@ def append_delta(
     # ``colocate``: shuffle the batch so each bucket is one file (read- and
     # footer-friendly) vs write straight from the input splits (zero
     # shuffle, one file per task×bucket — compaction folds them).
-    out = batch.repartition(n_buckets, "_bucket") if colocate else batch
+    # ``colocate_salt`` > 1 splits each bucket's write across that many
+    # tasks (hot-BUCKET skew: a key carrying p% of the batch makes its
+    # bucket's single write task the stage straggler; salting bounds the
+    # straggler at ~p/salt while files-per-bucket stays <= salt — the
+    # manifests and resolve handle multi-file buckets natively).  The
+    # physical bucket assignment is untouched: files land in their _pb
+    # dir via partitionBy regardless of which task writes them.
+    if colocate:
+        if colocate_salt > 1:
+            salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(colocate_salt))
+            out = batch.repartition(n_buckets, F.col("_bucket"), salt)
+        else:
+            out = batch.repartition(n_buckets, "_bucket")
+    else:
+        out = batch
     new_version = lake.latest_version() + 1
     new_files = lake.write_data_files(out, new_version, schema, role="delta")
     if obs is not None:

@@ -62,6 +62,7 @@ class CDCPipeline:
         compact_every: int = 8,
         retry_ttl: int = 3,
         colocate_deltas: bool = True,
+        colocate_salt: int = 1,
         late_horizon: int | None = 0,
         assume_ordered: bool = False,
         source_partition_col: str | None = None,
@@ -136,6 +137,10 @@ class CDCPipeline:
         self.compact_every = compact_every
         self.retry_ttl = retry_ttl
         self.colocate_deltas = colocate_deltas
+        # hot-BUCKET skew mitigation: >1 splits each bucket's delta write
+        # across this many tasks (see append_delta.colocate_salt and
+        # bench/bucket_skew_bench.py for the measured tradeoff)
+        self.colocate_salt = colocate_salt
         self.late_horizon = late_horizon
         self.source_partition_col = source_partition_col
         # ``assume_ordered``: the caller vouches that apply_batch() is fed
@@ -299,6 +304,7 @@ class CDCPipeline:
                 error_sink=merge_err_sink,
                 pre_dedup=self.pre_dedup,
                 colocate=self.colocate_deltas,
+                colocate_salt=self.colocate_salt,
             )
             lineage = res.get("lineage") or {}
             self._batches_since_compact += 1
