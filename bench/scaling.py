@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -194,8 +195,6 @@ def main():
             f"{w['hw']['after']}); retrying\n"
         )
     if win is None:
-        import shutil
-
         shutil.rmtree(workdir, ignore_errors=True)
         sys.stderr.write(
             f"NO VALID WINDOW in {args.max_windows} attempts "
@@ -248,16 +247,22 @@ CPUs physically deliver between the two levels.
 Raw: low={json.dumps(lo)} high={json.dumps(hi)}
 hw={json.dumps({k: round(v, 1) for k, v in hw.items()})}
 """
-    import shutil
-
     # a full attempt leaves ~5-7 GB of events+lakes in the workdir; past
     # rounds' leftovers filled the disk (round-5: 70 GB of dead workdirs,
-    # ENOSPC mid-bench) — reclaim ours and any dead siblings now
+    # ENOSPC mid-bench) — reclaim ours, plus siblings only when they are
+    # demonstrably dead (untouched for hours; a concurrent run's workdir
+    # is actively written and must not be yanked mid-measurement)
     shutil.rmtree(workdir, ignore_errors=True)
+    cutoff = time.time() - 6 * 3600
     for d in os.listdir(tempfile.gettempdir()):
-        if d.startswith("cdc_scaling_"):
-            shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
-                          ignore_errors=True)
+        full = os.path.join(tempfile.gettempdir(), d)
+        if not d.startswith("cdc_scaling_"):
+            continue
+        try:
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     target = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(target):

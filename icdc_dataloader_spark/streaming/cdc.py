@@ -208,16 +208,18 @@ class CDCPipeline:
         it the GC watermark could overrun a quarantined seq and drop a
         tombstone the fix-and-resubmit workflow still needs.  One
         aggregation job on a rare crash-heal path."""
-        bad_min = None
-        try:
-            ann = self._annotate(batch_df)
-            bad_min = (
-                ann.filter(F.size("_errs") > 0)
-                .agg(F.min(self.seq_col).alias("m"))
-                .collect()[0]["m"]
-            )
-        except Exception:
-            pass  # unreadable batch: hold unrecoverable, record anyway
+        # FAIL-CLOSED: if the hold computation errors (even transiently —
+        # executor lost, momentary IO), the exception must propagate.
+        # record() early-returns for already-applied batch ids, so a
+        # fail-open record-with-None here would discard the hold
+        # PERMANENTLY; propagating leaves is_applied(bid) false and the
+        # next drain retries the heal.
+        ann = self._annotate(batch_df)
+        bad_min = (
+            ann.filter(F.size("_errs") > 0)
+            .agg(F.min(self.seq_col).alias("m"))
+            .collect()[0]["m"]
+        )
         self.ledger.record(
             bid, self.lake.snapshot()["version"], {}, {},
             quarantined_min=bad_min,

@@ -180,27 +180,41 @@ class LakeChangeFeedDataSource(DataSource):
         return "lake_change_feed"
 
     def schema(self) -> T.StructType:
-        lake = LakeTable(self.options["path"])
-        key_cols = lake.key_cols()
-        fields = []
-        by_name = {f.name: f for f in lake.schema().fields}
-        for k in key_cols:
-            fields.append(by_name[k])
-        fields.append(T.StructField("change_type", T.StringType(), True))
-        for f in lake.schema().fields:
-            if f.name not in key_cols and f.name not in INTERNAL_COLS:
-                fields.append(f)
-        return T.StructType(fields)
+        return feed_schema(LakeTable(self.options["path"]))
 
     def streamReader(self, schema: T.StructType) -> "LakeChangeFeedReader":
-        return LakeChangeFeedReader(self.options)
+        return LakeChangeFeedReader(self.options, schema)
+
+
+def feed_schema(lake: LakeTable) -> T.StructType:
+    """The feed's row schema at the lake's CURRENT version:
+    key columns, change_type, then payload columns."""
+    key_cols = lake.key_cols()
+    fields = []
+    by_name = {f.name: f for f in lake.schema().fields}
+    for k in key_cols:
+        fields.append(by_name[k])
+    fields.append(T.StructField("change_type", T.StringType(), True))
+    for f in lake.schema().fields:
+        if f.name not in key_cols and f.name not in INTERNAL_COLS:
+            fields.append(f)
+    return T.StructType(fields)
 
 
 class LakeChangeFeedReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema: T.StructType | None = None):
         self.root = options["path"]
         self.start = options.get("startVersion")
         self.lake = LakeTable(self.root)
+        # The stream's row arity is FIXED at the schema declared when the
+        # stream started; if the lake evolves mid-stream the new columns
+        # must NOT appear in emitted rows (Spark kills the query with
+        # DATA_SOURCE_RETURN_SCHEMA_MISMATCH otherwise).  Restart the
+        # stream to pick up added columns — the same contract as file
+        # sources.
+        self.declared_schema = (
+            schema if schema is not None else feed_schema(self.lake)
+        )
 
     def initialOffset(self) -> dict:
         v = (int(self.start) if self.start is not None
@@ -217,12 +231,15 @@ class LakeChangeFeedReader(DataSourceStreamReader):
         lake = self.lake
         key_cols = lake.key_cols()
         tiebreakers = lake.tiebreakers()
+        # payload columns come from the schema declared at stream start,
+        # NOT lake.schema(v_to): mid-stream evolution must not change the
+        # emitted row arity (see __init__)
         payload_cols = [
-            f.name for f in lake.schema(v_to).fields
-            if f.name not in INTERNAL_COLS and f.name not in key_cols
+            f.name for f in self.declared_schema.fields
+            if f.name not in key_cols and f.name != "change_type"
         ]
         int_cols = [
-            f.name for f in lake.schema(v_to).fields
+            f.name for f in self.declared_schema.fields
             if f.name in payload_cols
             and isinstance(f.dataType, (T.ByteType, T.ShortType,
                                         T.IntegerType, T.LongType))

@@ -172,3 +172,65 @@ def test_readstream_schema_matches_feed_columns(spark, tmp_path):
     feed = read_change_feed_stream(spark, pipe.lake.root, start_version=v1)
     batch_cols = changes_between(spark, pipe.lake, v1, v2).columns
     assert feed.columns == batch_cols
+
+
+def test_readstream_survives_mid_stream_schema_evolution(spark, tmp_path):
+    """Self-review fix: a column added while the stream is RUNNING must
+    not change the emitted row arity — Spark kills a Python data source
+    whose read() yields more columns than the schema declared at stream
+    start (DATA_SOURCE_RETURN_SCHEMA_MISMATCH).  The running stream keeps
+    its declared columns (new column dropped); a restarted stream
+    declares the evolved schema and carries it."""
+    from pyspark.sql import types as T
+
+    from icdc_dataloader_spark.plans.merge import append_delta, table_schema
+    from icdc_dataloader_spark.repos import (
+        TIEBREAKERS,
+        create_repos_table,
+        repos_payload_schema,
+    )
+
+    lake = create_repos_table(str(tmp_path / "repos"), n_buckets=2)
+    base = ("repo string, path string, commit string, lang string,"
+            " content string, content_sha256 string, _seq long, _op string")
+
+    def up(repo, seq):
+        return (repo, "p", f"c{seq}", "py", f"v{seq}", f"h{seq}", seq,
+                "upsert")
+
+    append_delta(spark, lake, spark.createDataFrame([up("rA", 1)], base),
+                 tiebreakers=TIEBREAKERS, batch_id="b1")
+    v1 = lake.latest_version()
+
+    feed = read_change_feed_stream(spark, lake.root, start_version=v1)
+    assert "stars" not in feed.columns
+    q = (feed.writeStream.format("memory").queryName("feed_evo")
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        append_delta(spark, lake,
+                     spark.createDataFrame([up("rB", 2)], base),
+                     tiebreakers=TIEBREAKERS, batch_id="b2")
+        q.processAllAvailable()
+        # EVOLVE while the stream runs, then a batch carrying the column
+        lake.evolve_schema(
+            table_schema(repos_payload_schema().add("stars", T.LongType()))
+        )
+        wide = base + ", stars long"
+        append_delta(
+            spark, lake,
+            spark.createDataFrame(
+                [("rC", "p", "c3", "py", "v3", "h3", 3, "upsert", 42)], wide
+            ),
+            tiebreakers=TIEBREAKERS, batch_id="b3",
+        )
+        q.processAllAvailable()  # raised DATA_SOURCE_RETURN_SCHEMA_MISMATCH
+        assert q.isActive and q.exception() is None
+        got = {r["repo"] for r in
+               spark.sql("select repo from feed_evo").collect()}
+        assert got == {"rB", "rC"}
+    finally:
+        q.stop()
+
+    # a RESTARTED stream declares the evolved schema
+    feed2 = read_change_feed_stream(spark, lake.root, start_version=v1)
+    assert "stars" in feed2.columns

@@ -76,10 +76,22 @@ def _inject(monkeypatch, point, log_dir):
 
         monkeypatch.setattr(LakeTable, "_write_manifest", boom_manifest)
     elif point == "snapshot_tmp_fsync":
-        def boom_fsync(fd):
-            raise Boom(point)
+        # target the SNAPSHOT tmp's fsync specifically: a blanket raise
+        # fires first at _write_manifest's fsync (lake.py) and would
+        # re-test the manifest crash instead of the state this point
+        # claims (snapshot json fully written but not durable)
+        real_fsync = os.fsync
 
-        # scoped: only lake.py calls fsync between arming and the raise
+        def boom_fsync(fd):
+            try:
+                target = os.readlink(f"/proc/self/fd/{fd}")
+            except OSError:  # pragma: no cover
+                target = ""
+            if (os.path.dirname(target) == log_dir
+                    and os.path.basename(target).startswith(".tmp-")):
+                raise Boom(point)
+            return real_fsync(fd)
+
         monkeypatch.setattr(
             "icdc_dataloader_spark.plans.lake.os.fsync", boom_fsync
         )

@@ -82,9 +82,24 @@ def _arm(monkeypatch, point, log_dir):
 
         monkeypatch.setattr(LakeTable, "_write_manifest", boom_manifest)
     elif point == "snapshot_tmp_fsync":
+        # target the SNAPSHOT tmp's fsync specifically: a blanket raise
+        # would fire first at _write_manifest's fsync and never reach the
+        # state this point claims to test (snapshot json fully written
+        # but not durable, commit link not taken)
+        real_fsync = os.fsync
+
+        def boom_fsync(fd):
+            try:
+                target = os.readlink(f"/proc/self/fd/{fd}")
+            except OSError:  # pragma: no cover
+                target = ""
+            if (os.path.dirname(target) == log_dir
+                    and os.path.basename(target).startswith(".tmp-")):
+                raise Boom(point)
+            return real_fsync(fd)
+
         monkeypatch.setattr(
-            "icdc_dataloader_spark.plans.lake.os.fsync",
-            lambda fd: (_ for _ in ()).throw(Boom(point)),
+            "icdc_dataloader_spark.plans.lake.os.fsync", boom_fsync
         )
     elif point == "snapshot_link":
         real_link = os.link

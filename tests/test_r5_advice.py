@@ -366,3 +366,59 @@ def test_colocate_salt_same_state_multi_file_buckets(spark, tmp_path):
     compact(spark, salted)
     assert state(plain) == state(salted)
     assert len(salted.snapshot()["files"]) <= 2  # back to <=1 base/bucket
+
+
+def test_heal_propagates_hold_computation_failure(spark, tmp_path):
+    """Self-review fix: if the heal's quarantine-hold computation fails —
+    even transiently (executor lost, momentary IO) — the batch must NOT
+    be recorded hold-less.  record() early-returns for already-applied
+    batch ids, so a fail-open record-with-None would discard the hold
+    PERMANENTLY; the heal must raise instead, leaving the batch
+    unrecorded so the next drain retries and records the true hold."""
+    import icdc_dataloader_spark.streaming.cdc  # noqa: F401
+
+    root = str(tmp_path)
+    d1 = _write_binlog(spark, root, "d1", [
+        _ev(10, "upsert", "rA", 0),
+        _ev(5, "upsert", "rQ", 0, lang="NOT_A_LANG"),
+    ])
+    pipe = make_pipeline(
+        spark, os.path.join(root, "out"), n_buckets=1, strategy="mor",
+        compact_every=100, late_horizon=0, source_partition_col="src",
+    )
+    events = spark.read.parquet(d1)
+
+    # crash between lake commit and ledger record
+    orig_record = pipe.ledger.record
+    pipe.ledger.record = lambda *a, **kw: (_ for _ in ()).throw(
+        RuntimeError("injected: crash before ledger record")
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.apply_batch(
+            events.filter(F.col("batch_id") == 0).drop("batch_id"), 0
+        )
+    assert pipe.lake.is_batch_committed("0")
+    pipe.ledger.record = orig_record
+
+    # the heal's annotate/agg job fails TRANSIENTLY on the next drain
+    orig_annotate = pipe._annotate
+    calls = {"n": 0}
+
+    def flaky_annotate(batch_df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected: transient annotate failure")
+        return orig_annotate(batch_df)
+
+    pipe._annotate = flaky_annotate
+    with pytest.raises(RuntimeError, match="transient annotate"):
+        pipe.run(events)
+    # FAIL-CLOSED: the batch must still be unrecorded (hold retryable)...
+    assert not pipe.ledger.is_applied("0")
+    assert pipe.ledger.quarantine_holds() == {}
+
+    # ...so the next drain heals with the TRUE hold
+    res = pipe.run(events)
+    assert not res["quarantined"]
+    assert pipe.ledger.is_applied("0")
+    assert pipe.ledger.quarantine_holds() == {"0": 5}
