@@ -1473,3 +1473,125 @@ WHERE s1.repo IS NULL OR s2.repo IS NULL OR s1.seq <> s2.seq
 
 QUERIES["changes_across_gc"] = changes_across_gc
 ORACLES["changes_across_gc"] = CHANGES_ACROSS_GC_SQL
+
+
+def quarantine_resubmit_state(spark, sf_dir):
+    """The quarantine fix-and-resubmit workflow (§2.9 retry + V3
+    validation split), oracle-checked end-to-end — the round-4 ADVICE
+    hazard as a driver query:
+
+    1. Drain batches 0-3 where every upsert with ``seq % 11 == 3``
+       carries an invalid enum (``lang='NOT_A_LANG'``) — those rows are
+       row-level quarantined and leave per-batch GC-watermark HOLDS in
+       the ledger (min quarantined seq).
+    2. Drain one high-seq filler batch (fresh keys, seq = 10^9+user_id,
+       touching every bucket) with ``compact_every=1`` so its in-loop
+       compaction runs tombstone GC.  WITHOUT the holds the watermark
+       (min per-bucket applied max) would overrun every base-stream
+       tombstone and drop it; the holds cap it at the min quarantined
+       seq, so every tombstone a future re-submit could meet survives
+       (pinned sharp by tests/test_r5_advice.py's disabled-hold variant,
+       which really does resurrect deleted keys).
+    3. Re-submit the FIXED rows at their ORIGINAL seq (the documented
+       workflow, reference analogue loader.py re-run after fixing a
+       validation report): each fix must LOSE to any later tombstone and
+       WIN where it is the key's true LWW winner.
+    4. Release the holds (``resolve_quarantined``) — workflow complete.
+
+    DuckDB replays it arithmetically: the final state equals arg-max LWW
+    over (base stream with CORRECT lang) ∪ (filler), because the fixed
+    copies apply at the poisoned rows' original seqs.
+    """
+    from .plans.merge import read_state
+    from .repos import make_pipeline
+
+    mapped = _cdc_mapped_events(_t(spark, sf_dir, "events"))
+    poison = (F.col("op") == "upsert") & (F.col("seq") % 11 == 3)
+    root = _query_workdir("quarantine_resubmit_state", sf_dir)
+
+    # the hazard must actually exist in the data: >=1 key whose LWW
+    # winner is a tombstone ABOVE a poisoned seq — exactly the key an
+    # engine without holds resurrects in step 3
+    dead = mapped.groupBy("repo", "path").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max("seq").alias("last_seq"),
+    )
+    n_hazard = (
+        mapped.filter(poison)
+        .join(dead.filter(F.col("last_op") == "delete"), ["repo", "path"])
+        .filter(F.col("seq") < F.col("last_seq"))
+        .count()
+    )
+    assert n_hazard > 0, "construction must contain resurrectable keys"
+
+    mapped.withColumn(
+        "lang",
+        F.when(poison, F.lit("NOT_A_LANG")).otherwise(F.col("lang")),
+    ).write.partitionBy("batch_id").parquet(f"{root}/binlog")
+    pipe = make_pipeline(
+        spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=1
+    )
+    res1 = pipe.run(spark.read.parquet(f"{root}/binlog"))
+    assert not res1["quarantined"]
+    holds = pipe.ledger.quarantine_holds()
+    assert holds, "poisoned rows must leave GC-watermark holds"
+
+    fill = (
+        _t(spark, sf_dir, "events").select("user_id").distinct()
+        .select(
+            (F.lit(1_000_000_000) + F.col("user_id")).cast("long")
+            .alias("seq"),
+            F.lit("upsert").alias("op"),
+            F.concat(F.lit("z"), F.col("user_id").cast("string"))
+            .alias("repo"),
+            F.lit("fill").alias("path"),
+            F.concat(F.lit("cf"), F.col("user_id").cast("string"))
+            .alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit("fill"), F.col("user_id").cast("string"))
+            .alias("content"),
+            F.lit(4).alias("batch_id"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    fill.write.partitionBy("batch_id").parquet(f"{root}/fill")
+    res2 = pipe.run(spark.read.parquet(f"{root}/fill"))
+    assert not res2["quarantined"]
+    # the hold is the BINDING watermark bound after the filler drain
+    assert pipe.ledger.quarantine_floor() == min(holds.values())
+
+    fixes = mapped.filter(poison).withColumn("batch_id", F.lit(5))
+    fixes.write.partitionBy("batch_id").parquet(f"{root}/fixes")
+    res3 = pipe.run(spark.read.parquet(f"{root}/fixes"))
+    assert not res3["quarantined"]
+    for bid in holds:
+        pipe.resolve_quarantined(bid)
+    assert pipe.ledger.quarantine_floor() is None
+    return read_state(spark, pipe.lake).select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
+QUARANTINE_RESUBMIT_SQL = f"""
+WITH ev AS ({_cdc_ev_cte()}
+), fill AS (
+  SELECT 1000000000 + user_id AS seq, 'upsert' AS op,
+         'z' || CAST(user_id AS VARCHAR) AS repo, 'fill' AS path,
+         'cf' || CAST(user_id AS VARCHAR) AS commit, 'python' AS lang,
+         'fill' || CAST(user_id AS VARCHAR) AS content
+  FROM (SELECT DISTINCT user_id FROM events)
+), allev AS (
+  SELECT seq, op, repo, path, commit, lang, content FROM ev
+  UNION ALL
+  SELECT seq, op, repo, path, commit, lang, content FROM fill
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC) AS rn
+  FROM allev
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256
+FROM win WHERE rn = 1 AND op = 'upsert'
+"""
+
+QUERIES["quarantine_resubmit_state"] = quarantine_resubmit_state
+ORACLES["quarantine_resubmit_state"] = QUARANTINE_RESUBMIT_SQL

@@ -422,3 +422,39 @@ def test_heal_propagates_hold_computation_failure(spark, tmp_path):
     assert not res["quarantined"]
     assert pipe.ledger.is_applied("0")
     assert pipe.ledger.quarantine_holds() == {"0": 5}
+
+
+def test_without_hold_resurrection_really_happens(spark, tmp_path,
+                                                  monkeypatch):
+    """Negative control (sharpness): with the quarantine hold DISABLED
+    (the pre-fix engine), the same scenario as
+    test_quarantine_hold_prevents_tombstone_resurrection really does GC
+    the seq-7 tombstone and the re-submit at seq 5 resurrects the
+    deleted key — the positive tests (and the
+    quarantine_resubmit_state driver query) are not vacuous."""
+    monkeypatch.setattr(CheckpointLedger, "quarantine_floor",
+                        lambda self: None)
+    root = str(tmp_path)
+    pipe = make_pipeline(
+        spark, os.path.join(root, "out"), n_buckets=1, strategy="mor",
+        compact_every=1, late_horizon=0, source_partition_col="src",
+    )
+    d1 = _write_binlog(spark, root, "d1", [
+        _ev(2, "upsert", "rK", 0),
+        _ev(7, "delete", "rK", 1),
+        _ev(5, "upsert", "rK", 1, lang="NOT_A_LANG"),  # quarantined
+        _ev(10, "upsert", "rOther", 1),
+    ])
+    pipe.run(spark.read.parquet(d1))
+    d2 = _write_binlog(spark, root, "d2", [_ev(20, "upsert", "rFill", 2)])
+    pipe.run(spark.read.parquet(d2))  # GC overruns the tombstone
+    d3 = _write_binlog(spark, root, "d3", [_ev(5, "upsert", "rK", 3)])
+    pipe.run(spark.read.parquet(d3))
+    live = {
+        r["repo"]
+        for r in read_state(spark, pipe.lake).select("repo").collect()
+    }
+    assert "rK" in live, (
+        "hold disabled: the deleted key must resurrect (else the hold "
+        "tests test nothing)"
+    )
