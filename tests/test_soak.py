@@ -9,7 +9,11 @@ at the end:
 
 - state parity vs an independent pandas LWW replay (seeded, deterministic);
 - bounded physical footprint: data-file count stays O(n_buckets), the
-  ledger head stays KB-sized, manifests don't accumulate after vacuum.
+  ledger head stays KB-sized, manifests don't accumulate after vacuum;
+- consume-side parity (round-5): a ChangeFeedConsumer tails every drain
+  and replaying ONLY its increments reconstructs the exact state — the
+  feed stays lossless through 100 drains of compaction/GC/vacuum and a
+  mid-soak schema evolution.
 """
 
 import hashlib
@@ -87,12 +91,31 @@ def _actual_state(spark, pipe, evolved):
     return out
 
 
+def _apply_increment(feed_state, inc):
+    """Replay one feed increment onto the consumer's state dict."""
+    has_stars = "stars" in inc["df"].columns
+    for r in inc["df"].collect():
+        k = (r["repo"], r["path"])
+        if r["change_type"] == "delete":
+            feed_state.pop(k, None)
+        else:
+            stars = r["stars"] if has_stars else None
+            feed_state[k] = (
+                r["commit"], r["content_sha256"],
+                int(stars) if stars is not None else None,
+            )
+
+
 def test_100_drain_soak(spark, tmp_path):
+    from icdc_dataloader_spark.streaming.feed import ChangeFeedConsumer
+
     rng = np.random.default_rng(42)
     pipe = make_pipeline(
         spark, str(tmp_path / "out"), n_buckets=8, strategy="mor",
         compact_every=8, late_horizon=0,
     )
+    cons = ChangeFeedConsumer(pipe.lake, str(tmp_path / "feed_ckpt"))
+    feed_state = {}
     all_rows = []
     seq = 1
     evolved = False
@@ -115,15 +138,29 @@ def test_100_drain_soak(spark, tmp_path):
         spark.createDataFrame(pdf).write.partitionBy("batch_id").parquet(src)
         res = pipe.run(spark.read.parquet(src))
         assert not res["quarantined"], (d, res)
+        # tail the feed BEFORE vacuum (the cursor then always points at
+        # the head, so vacuum can never reclaim a snapshot the consumer
+        # still needs)
+        inc = cons.poll(spark)
+        if inc is not None:
+            _apply_increment(feed_state, inc)
+            cons.commit(inc["v_to"])
         if d % VACUUM_EVERY == VACUUM_EVERY - 1:
             pipe.lake.vacuum(keep_last=2)
         if d % CHECK_EVERY == CHECK_EVERY - 1:
-            assert _actual_state(spark, pipe, evolved) == _expected_state(
-                [dict(r) for r in all_rows]
-            ), f"state diverged at drain {d}"
+            expected = _expected_state([dict(r) for r in all_rows])
+            assert _actual_state(spark, pipe, evolved) == expected, (
+                f"state diverged at drain {d}"
+            )
+            assert feed_state == expected, (
+                f"feed replay diverged at drain {d}"
+            )
 
     # final parity (also covers post-evolution rows)
     assert _actual_state(spark, pipe, True) == _expected_state(all_rows)
+    assert feed_state == _expected_state(all_rows), (
+        "replaying ONLY the change feed must reconstruct the state"
+    )
 
     # ---- bounded footprint ------------------------------------------------
     from icdc_dataloader_spark.plans.merge import compact
