@@ -579,6 +579,17 @@ class LakeTable:
             self.vacuum(keep_last=1)
         return version
 
+    def retained_from(self) -> int:
+        """Oldest version whose data files are guaranteed intact — every
+        version below this has been vacuumed (its snapshot json survives
+        for lineage, but data/manifests may be gone).  0 if never
+        vacuumed."""
+        p = os.path.join(self.log_dir, "vacuum.json")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return int(json.load(fh)["retained_from"])
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Delete data dirs (and manifests) referenced only by snapshots
         older than the last N."""
@@ -586,6 +597,17 @@ class LakeTable:
         if latest is None:
             return
         keep_versions = range(max(0, latest - keep_last + 1), latest + 1)
+        # record the retention low-water FIRST (monotone): readers of a
+        # version below it get a clear expired-snapshot error instead of
+        # an obscure missing-file failure mid-scan, even if this vacuum
+        # crashes partway through the deletes
+        new_floor = max(self.retained_from(), keep_versions.start)
+        tmp = os.path.join(self.log_dir, f".tmp-vac-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"retained_from": new_floor}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.log_dir, "vacuum.json"))
         live = set()
         live_manifests = set()
         for v in keep_versions:

@@ -234,3 +234,39 @@ def test_readstream_survives_mid_stream_schema_evolution(spark, tmp_path):
     # a RESTARTED stream declares the evolved schema
     feed2 = read_change_feed_stream(spark, lake.root, start_version=v1)
     assert "stars" in feed2.columns
+
+
+def test_lagging_consumer_gets_clear_expired_error(spark, tmp_path):
+    """Round-5 hardening: vacuum records a retention low-water; a feed
+    consumer whose cursor fell below it gets a CLEAR expired-snapshot
+    error (the Iceberg analogue) instead of an obscure missing-file
+    crash mid-scan — and reads at or above the floor still work."""
+    import pytest
+
+    pipe, v1, v2 = _setup(spark, tmp_path)
+    cons = ChangeFeedConsumer(
+        pipe.lake, str(tmp_path / "lag_ckpt"), start_version=v1
+    )
+    # consumer lags: two more drains + a compaction, then vacuum
+    v3 = _drain(spark, pipe, tmp_path, "dx", [_ev(30, "upsert", "rUpd", 2)])
+    v4 = _drain(spark, pipe, tmp_path, "dy", [_ev(31, "upsert", "rNew2", 3)])
+    pipe.lake.vacuum(keep_last=2)
+    floor = pipe.lake.retained_from()
+    assert floor > v1
+
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        cons.poll(spark)
+    with pytest.raises(ValueError, match="vacuum retained"):
+        changes_between(spark, pipe.lake, v1)
+    from icdc_dataloader_spark.streaming.feed import LakeChangeFeedReader
+
+    reader = LakeChangeFeedReader({"path": pipe.lake.root})
+    with pytest.raises(ValueError, match="restart the stream"):
+        reader.partitions({"version": v1}, {"version": v4})
+
+    # at/above the floor the feed still serves
+    rows = changes_between(spark, pipe.lake, floor).collect()
+    assert rows is not None
+    # floor is monotone across repeated vacuums
+    pipe.lake.vacuum(keep_last=4)  # larger retention cannot LOWER it
+    assert pipe.lake.retained_from() >= floor
