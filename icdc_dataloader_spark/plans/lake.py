@@ -590,18 +590,38 @@ class LakeTable:
         with open(p) as fh:
             return int(json.load(fh)["retained_from"])
 
+    def ensure_retained(self, version: int, hint: str = "") -> None:
+        """Raise a clear expired-snapshot error if ``version``'s data may
+        have been vacuumed (the Iceberg expired-snapshot analogue).
+
+        Best-effort by design: the check runs at PLAN time, so a vacuum
+        racing between planning and execution still surfaces as
+        missing-file errors mid-read — size the retention window
+        (``keep_last``) above the maximum consumer lag."""
+        floor = self.retained_from()
+        if version < floor:
+            raise ValueError(
+                f"snapshot v{version} has been vacuumed: retained "
+                f"versions start at v{floor}."
+                + (f" {hint}" if hint else "")
+            )
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Delete data dirs (and manifests) referenced only by snapshots
         older than the last N."""
         latest = self.latest_version()
         if latest is None:
             return
-        keep_versions = range(max(0, latest - keep_last + 1), latest + 1)
+        # clamp the keep range to the existing retention floor: versions
+        # below it lost their manifests in an earlier vacuum, so loading
+        # their snapshots here (e.g. a later vacuum called with a LARGER
+        # keep_last) would crash on the missing files
+        new_floor = max(self.retained_from(), max(0, latest - keep_last + 1))
+        keep_versions = range(new_floor, latest + 1)
         # record the retention low-water FIRST (monotone): readers of a
         # version below it get a clear expired-snapshot error instead of
         # an obscure missing-file failure mid-scan, even if this vacuum
         # crashes partway through the deletes
-        new_floor = max(self.retained_from(), keep_versions.start)
         tmp = os.path.join(self.log_dir, f".tmp-vac-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump({"retained_from": new_floor}, fh)

@@ -208,18 +208,14 @@ def changes_between(
     even if its tombstone was GC'd in between.
     """
     v_to = lake.latest_version() if v_to is None else v_to
-    floor = lake.retained_from()
-    if v_from < floor:
-        # Iceberg expired-snapshot analogue: v_from's data files may be
-        # gone; failing here is a CLEAR contract error instead of a
-        # missing-file crash mid-scan (or, worse, a partial read).  A
-        # consumer that lagged past vacuum retention cannot resume
-        # incrementally — it must re-bootstrap from a full snapshot.
-        raise ValueError(
-            f"change feed from v{v_from} is unavailable: vacuum retained "
-            f"only v{floor}+ — re-bootstrap from read_state() and resume "
-            f"the feed from the current version"
-        )
+    # a consumer that lagged past vacuum retention cannot resume
+    # incrementally — fail with the clear contract error (best-effort at
+    # plan time; see LakeTable.ensure_retained)
+    lake.ensure_retained(
+        v_from,
+        hint="Re-bootstrap from read_state() and resume the feed from "
+             "the current version.",
+    )
     bks = changed_buckets(lake, v_from, v_to)
     key_cols = lake.key_cols()
     payload_cols = [

@@ -1516,13 +1516,16 @@ def quarantine_resubmit_state(spark, sf_dir):
         F.max_by("op", "seq").alias("last_op"),
         F.max("seq").alias("last_seq"),
     )
-    n_hazard = (
+    hazard_keys = (
         mapped.filter(poison)
         .join(dead.filter(F.col("last_op") == "delete"), ["repo", "path"])
         .filter(F.col("seq") < F.col("last_seq"))
-        .count()
+        .select("repo", "path")
+        .distinct()
     )
-    assert n_hazard > 0, "construction must contain resurrectable keys"
+    assert hazard_keys.count() > 0, (
+        "construction must contain resurrectable keys"
+    )
 
     mapped.withColumn(
         "lang",
@@ -1557,8 +1560,21 @@ def quarantine_resubmit_state(spark, sf_dir):
     fill.write.partitionBy("batch_id").parquet(f"{root}/fill")
     res2 = pipe.run(spark.read.parquet(f"{root}/fill"))
     assert not res2["quarantined"]
-    # the hold is the BINDING watermark bound after the filler drain
-    assert pipe.ledger.quarantine_floor() == min(holds.values())
+    # the hold is the BINDING watermark bound after the filler drain:
+    # every bucket's applied max is now filler-high, so without the
+    # holds nothing else keeps the GC watermark low...
+    lw = pipe.ledger.low_water()
+    assert lw and pipe.ledger.quarantine_floor() < min(lw.values())
+    # ...and the EFFECT holds: tombstones the re-submits must lose to
+    # survived the in-loop GC (the negative-control test shows they are
+    # dropped when the hold is disabled)
+    surviving = (
+        pipe.lake.read(spark)
+        .filter(F.col("_op") == "delete")
+        .join(hazard_keys, ["repo", "path"], "left_semi")
+        .count()
+    )
+    assert surviving > 0, "hazard tombstones must survive the GC"
 
     fixes = mapped.filter(poison).withColumn("batch_id", F.lit(5))
     fixes.write.partitionBy("batch_id").parquet(f"{root}/fixes")

@@ -229,16 +229,14 @@ class LakeChangeFeedReader(DataSourceStreamReader):
         if v_to <= v_from:
             return []
         lake = self.lake
-        floor = lake.retained_from()
-        if v_from < floor:
-            # same contract as changes_between: a stream that lagged past
-            # vacuum retention must fail clearly, not crash on missing
-            # files mid-read
-            raise ValueError(
-                f"change feed from v{v_from} is unavailable: vacuum "
-                f"retained only v{floor}+ — restart the stream with a "
-                f"fresh checkpoint after re-bootstrapping from the table"
-            )
+        # same contract as changes_between: a stream that lagged past
+        # vacuum retention must fail clearly, not crash on missing files
+        # mid-read (best-effort at plan time, see ensure_retained)
+        lake.ensure_retained(
+            v_from,
+            hint="Restart the stream with a fresh checkpoint after "
+                 "re-bootstrapping from the table.",
+        )
         key_cols = lake.key_cols()
         tiebreakers = lake.tiebreakers()
         # payload columns come from the schema declared at stream start,

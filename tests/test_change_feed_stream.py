@@ -243,30 +243,48 @@ def test_lagging_consumer_gets_clear_expired_error(spark, tmp_path):
     crash mid-scan — and reads at or above the floor still work."""
     import pytest
 
+    from icdc_dataloader_spark.plans.merge import compact
+
     pipe, v1, v2 = _setup(spark, tmp_path)
     cons = ChangeFeedConsumer(
         pipe.lake, str(tmp_path / "lag_ckpt"), start_version=v1
     )
-    # consumer lags: two more drains + a compaction, then vacuum
+    # consumer lags: more drains, a compaction (supersedes every
+    # pre-compact manifest — without it they stay carried-by-reference
+    # and vacuum never actually deletes them), a post-compact drain so
+    # the kept snapshots reference ONLY post-compact manifests, vacuum
     v3 = _drain(spark, pipe, tmp_path, "dx", [_ev(30, "upsert", "rUpd", 2)])
+    compact(spark, pipe.lake)
     v4 = _drain(spark, pipe, tmp_path, "dy", [_ev(31, "upsert", "rNew2", 3)])
     pipe.lake.vacuum(keep_last=2)
     floor = pipe.lake.retained_from()
     assert floor > v1
 
-    with pytest.raises(ValueError, match="re-bootstrap"):
+    with pytest.raises(ValueError, match="Re-bootstrap"):
         cons.poll(spark)
-    with pytest.raises(ValueError, match="vacuum retained"):
+    with pytest.raises(ValueError, match="has been vacuumed"):
         changes_between(spark, pipe.lake, v1)
     from icdc_dataloader_spark.streaming.feed import LakeChangeFeedReader
 
     reader = LakeChangeFeedReader({"path": pipe.lake.root})
-    with pytest.raises(ValueError, match="restart the stream"):
+    with pytest.raises(ValueError, match="Restart the stream"):
         reader.partitions({"version": v1}, {"version": v4})
 
-    # at/above the floor the feed still serves
+    # at/above the floor the feed still serves the CORRECT diff
     rows = changes_between(spark, pipe.lake, floor).collect()
-    assert rows is not None
-    # floor is monotone across repeated vacuums
-    pipe.lake.vacuum(keep_last=4)  # larger retention cannot LOWER it
-    assert pipe.lake.retained_from() >= floor
+    assert {(r["repo"], r["change_type"]) for r in rows} == {
+        ("rNew2", "insert")
+    }
+    # floor is monotone across repeated vacuums; a LARGER keep_last later
+    # must neither lower it nor crash loading snapshots below the floor
+    # whose manifests the first vacuum already deleted (the keep range is
+    # clamped to the floor).  A FRESH instance matters: the original one
+    # serves below-floor snapshots from its in-memory caches and masks
+    # the missing files.
+    from icdc_dataloader_spark.plans.lake import LakeTable
+
+    fresh = LakeTable(pipe.lake.root)
+    with pytest.raises(FileNotFoundError):
+        fresh.snapshot(v1)  # below the floor: manifests really are gone
+    fresh.vacuum(keep_last=10)
+    assert fresh.retained_from() >= floor
