@@ -62,7 +62,7 @@ class CDCPipeline:
         compact_every: int = 8,
         retry_ttl: int = 3,
         colocate_deltas: bool = True,
-        colocate_salt: int = 1,
+        colocate_salt: int | str = 1,
         late_horizon: int | None = 0,
         assume_ordered: bool = False,
         source_partition_col: str | None = None,
@@ -139,8 +139,19 @@ class CDCPipeline:
         self.colocate_deltas = colocate_deltas
         # hot-BUCKET skew mitigation: >1 splits each bucket's delta write
         # across this many tasks (see append_delta.colocate_salt and
-        # bench/bucket_skew_bench.py for the measured tradeoff)
+        # bench/bucket_skew_bench.py for the measured tradeoff).
+        # 'auto' derives the NEXT batch's salt from the PREVIOUS batch's
+        # per-bucket row counts — already in the write's parquet footers
+        # (lineage), so the adaptation costs zero extra jobs.  Decision
+        # rule encodes the bench: at a 30.7%-of-batch hot bucket on 32
+        # buckets, salt 4-5 bounds the write straggler at ~share/salt
+        # (2.2x faster) while salt 8+ loses the gain to file-count
+        # overhead; uniform traffic (share ~ 1/n_buckets) stays at 1 and
+        # pays no file tax.  Heuristic state resets to 1 on restart (one
+        # batch of re-learning, never wrong results — salting only
+        # changes which task writes a bucket's rows).
         self.colocate_salt = colocate_salt
+        self._auto_salt = 1
         self.late_horizon = late_horizon
         self.source_partition_col = source_partition_col
         # ``assume_ordered``: the caller vouches that apply_batch() is fed
@@ -199,6 +210,24 @@ class CDCPipeline:
             )
             .withColumn("_bucket", bucket_expr(self.key_cols, self.lake.n_buckets()))
         )
+
+    def _salt_from_lineage(self, lineage: dict) -> int:
+        """Next batch's colocate salt from this batch's per-bucket row
+        counts (parquet-footer lineage — no extra jobs).
+
+        share = hottest bucket's fraction of the batch.  Uniform traffic
+        (share ≲ 2/n_buckets) → 1 (no file tax); skewed → ~share ×
+        n_buckets / 2 capped at 8, the region bench/bucket_skew_bench.py
+        measured as the sweet spot (salt4 at a 30.7% bucket = 2.2×
+        faster; salt8 already loses to file-count overhead)."""
+        total = sum(v["rows"] for v in lineage.values())
+        if not total:
+            return self._auto_salt
+        share = max(v["rows"] for v in lineage.values()) / total
+        n = self.lake.n_buckets()
+        if share <= 2.0 / n:
+            return 1
+        return max(2, min(8, round(share * n / 2)))
 
     def _heal_ledger(self, batch_df: DataFrame, bid: str) -> None:
         """Re-record a batch the lake committed but the ledger missed
@@ -306,9 +335,15 @@ class CDCPipeline:
                 error_sink=merge_err_sink,
                 pre_dedup=self.pre_dedup,
                 colocate=self.colocate_deltas,
-                colocate_salt=self.colocate_salt,
+                colocate_salt=(
+                    self._auto_salt
+                    if self.colocate_salt == "auto"
+                    else self.colocate_salt
+                ),
             )
             lineage = res.get("lineage") or {}
+            if self.colocate_salt == "auto":
+                self._auto_salt = self._salt_from_lineage(lineage)
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
                 with timers.phase("compact"):

@@ -458,3 +458,55 @@ def test_without_hold_resurrection_really_happens(spark, tmp_path,
         "hold disabled: the deleted key must resurrect (else the hold "
         "tests test nothing)"
     )
+
+
+def test_auto_colocate_salt_adapts_to_bucket_skew(spark, tmp_path):
+    """colocate_salt='auto': the NEXT batch's salt derives from the
+    PREVIOUS batch's per-bucket footer lineage (zero extra jobs).
+    Skewed traffic raises it (hot bucket written as multiple files);
+    uniform traffic keeps it at 1 (no file-count tax); state matches a
+    fixed salt=1 pipeline exactly."""
+    def drain(root, batches, salt):
+        pipe = make_pipeline(
+            spark, root, n_buckets=4, strategy="mor", compact_every=100,
+            colocate_salt=salt,
+        )
+        for i, rows in enumerate(batches):
+            d = _write_binlog(spark, root, f"d{i}", rows)
+            res = pipe.run(spark.read.parquet(d))
+            assert not res["quarantined"]
+        return pipe
+
+    # batch 0: ~85% of rows on one hot key -> its bucket dominates;
+    # batch 1: the salt learned from batch 0 must split the hot bucket
+    hot = [_ev(s, "upsert", "rHot", 0) for s in range(1, 35)] + [
+        _ev(100 + i, "upsert", f"r{i}", 0) for i in range(6)
+    ]
+    hot2 = [_ev(200 + s, "upsert", "rHot", 1) for s in range(30)] + [
+        _ev(300 + i, "upsert", f"r{i}", 1) for i in range(6)
+    ]
+
+    auto = drain(str(tmp_path / "auto"), [hot, hot2], "auto")
+    assert auto._auto_salt > 1, "skew must raise the learned salt"
+    per_bucket = {}
+    for f in auto.lake.delta_files():
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values()) > 2, (
+        "batch 1's hot bucket must have been written by multiple tasks"
+    )
+
+    plain = drain(str(tmp_path / "plain"), [hot, hot2], 1)
+
+    def state(pipe):
+        return {
+            (r["repo"], r["path"]): (r["commit"], r["_seq"])
+            for r in resolve(spark, pipe.lake)
+            .select("repo", "path", "commit", "_seq").collect()
+        }
+
+    assert state(auto) == state(plain)
+
+    # uniform traffic: the learned salt returns to 1
+    uni = [[_ev(1000 + i, "upsert", f"q{i}", 0) for i in range(40)]]
+    auto_u = drain(str(tmp_path / "auto_u"), uni, "auto")
+    assert auto_u._auto_salt == 1
