@@ -41,13 +41,20 @@ REPEATS = 3
 N_BUCKETS = 32
 
 
-def variants():
-    return {
+def variants(hot_buckets=None):
+    v = {
         "colocate": dict(colocate=True, colocate_salt=1),
         "salt4": dict(colocate=True, colocate_salt=4),
         "salt8": dict(colocate=True, colocate_salt=8),
         "no_colocate": dict(colocate=False, colocate_salt=1),
     }
+    if hot_buckets is not None:
+        # what colocate_salt='auto' dispatches to after one batch of
+        # learning: split ONLY the hot buckets, cold buckets keep 1 file
+        v["salt4_targeted"] = dict(
+            colocate=True, colocate_salt=4, salt_buckets=hot_buckets,
+        )
+    return v
 
 
 def run(n_events: int = 8_000_000, cpus: int = 32) -> dict:
@@ -76,17 +83,31 @@ def run(n_events: int = 8_000_000, cpus: int = 32) -> dict:
         batch.groupBy("repo", "path").count()
         .agg(F.max("count").alias("mx")).first()["mx"]
     )
+    # hot-bucket set for the targeted variant (same threshold as the
+    # pipeline's 'auto' dispatch: share > 2/n_buckets); computed once,
+    # outside the timed region — the pipeline gets it free from the
+    # previous batch's footer lineage
+    from icdc_dataloader_spark.plans.lake import bucket_expr
+
+    per_bucket = (
+        batch.withColumn("_b", bucket_expr(["repo", "path"], N_BUCKETS))
+        .groupBy("_b").count().collect()
+    )
+    hot_buckets = sorted(
+        int(r["_b"]) for r in per_bucket
+        if r["count"] / n_events > 2.0 / N_BUCKETS
+    )
 
     results = {
         name: {"wall": [], "max_file_rows": None, "n_files": None,
                "state_hash": None}
-        for name in variants()
+        for name in variants(hot_buckets)
     }
     root_base = "/tmp/bucket_skew_lakes"
     shutil.rmtree(root_base, ignore_errors=True)
 
     for rep in range(REPEATS):
-        for name, kw in variants().items():
+        for name, kw in variants(hot_buckets).items():
             root = os.path.join(root_base, f"{name}_{rep}")
             lake = LakeTable.create(
                 root, table_schema(repos_payload_schema()),

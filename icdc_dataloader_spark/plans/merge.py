@@ -446,6 +446,73 @@ def merge_into(
 # ---------------------------------------------------------------------------
 
 
+def _mm3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    return (k1 * 0x1B873593) & 0xFFFFFFFF
+
+
+def _mm3_mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & 0xFFFFFFFF
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _mm3_fmix(h1: int, length: int) -> int:
+    h1 = (h1 ^ length) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    return h1 ^ (h1 >> 16)
+
+
+def _mm3_hash_long(value: int, seed: int) -> int:
+    """Murmur3 32-bit hash of one LongType value, as Spark's Murmur3Hash
+    computes it (two 4-byte blocks, low word first — Spark
+    sql/catalyst hash.scala `hashLong`, same algorithm as Guava's
+    Murmur3_x86_32; public source)."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mm3_mix_h1(seed & 0xFFFFFFFF, _mm3_mix_k1(v & 0xFFFFFFFF))
+    h1 = _mm3_mix_h1(h1, _mm3_mix_k1((v >> 32) & 0xFFFFFFFF))
+    return _mm3_fmix(h1, 8)
+
+
+def shuffle_partition_id(values: list[int], n_partitions: int) -> int:
+    """The shuffle partition `repartition(n_partitions, *long_cols)`
+    assigns to a row with these LongType column values:
+    pmod(murmur3(values, seed=42), n) — HashPartitioning's
+    partitionIdExpression (Spark sql/catalyst partitioning.scala; public
+    source).  Lets the driver PLAN partition placement without a job."""
+    h = 42
+    for v in values:
+        h = _mm3_hash_long(v, h)
+    if h >= 1 << 31:  # Spark's hash is a signed int32
+        h -= 1 << 32
+    return ((h % n_partitions) + n_partitions) % n_partitions
+
+
+def _distinct_partition_salts(bucket: int, k: int, n_partitions: int) -> list[int]:
+    """k salt values for ``bucket`` whose (bucket, salt) rows land in k
+    DISTINCT shuffle partitions — raw group ids can murmur3-collide,
+    merging two of a hot bucket's groups back into one task and re-growing
+    the straggler the salt exists to remove."""
+    vals: list[int] = []
+    used: set[int] = set()
+    c = 0
+    while len(vals) < k and c < 1000 * k:
+        pid = shuffle_partition_id([bucket, c], n_partitions)
+        if pid not in used:
+            used.add(pid)
+            vals.append(c)
+            if len(used) == n_partitions:  # no more distinct pids exist
+                used.clear()
+        c += 1
+    while len(vals) < k:  # degenerate guard (tiny n_partitions)
+        vals.append(vals[0])
+    return vals
+
+
 def append_delta(
     spark: SparkSession,
     lake: LakeTable,
@@ -460,6 +527,7 @@ def append_delta(
     has_new: bool | None = None,
     colocate: bool = True,
     colocate_salt: int = 1,
+    salt_buckets: list[int] | None = None,
 ) -> dict:
     """MoR apply: write the batch as delta files — NO base rewrite.
 
@@ -523,10 +591,48 @@ def append_delta(
     # manifests and resolve handle multi-file buckets natively).  The
     # physical bucket assignment is untouched: files land in their _pb
     # dir via partitionBy regardless of which task writes them.
+    # ``salt_buckets`` targets the split: only the listed (hot) buckets
+    # pay the files-per-bucket tax, cold buckets keep exactly one file —
+    # at thousands of buckets a global salt multiplies EVERY bucket's
+    # file count to shave one straggler, which is the wrong trade.
     if colocate:
         if colocate_salt > 1:
-            salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(colocate_salt))
-            out = batch.repartition(n_buckets, F.col("_bucket"), salt)
+            group = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(colocate_salt))
+            if salt_buckets is not None:
+                # TARGETED split (the colocate_salt='auto' path): only the
+                # listed hot buckets split, and each one's k salt values
+                # are chosen driver-side so their (bucket, salt) rows
+                # provably land in k DISTINCT shuffle partitions —
+                # murmur3 can otherwise merge two groups into one task
+                # and silently re-grow the straggler.  Cold buckets keep
+                # salt 0: one task, one file, no tax.
+                n_part = n_buckets
+                expr = None
+                for b in salt_buckets:  # empty list -> salt 0 everywhere
+                    remap = F.element_at(
+                        F.array(*[
+                            F.lit(v).cast("long") for v in
+                            _distinct_partition_salts(
+                                int(b), colocate_salt, n_part)
+                        ]),
+                        (group + 1).cast("int"),
+                    )
+                    w = F.col("_bucket") == int(b)
+                    expr = (F.when(w, remap) if expr is None
+                            else expr.when(w, remap))
+                salt = (expr.otherwise(F.lit(0).cast("long"))
+                        if expr is not None else F.lit(0).cast("long"))
+            else:
+                # GLOBAL split (fixed colocate_salt on every bucket):
+                # per-bucket remap would need an n_buckets-branch
+                # expression, so collisions are handled probabilistically
+                # instead — salt x the partition count; surplus tasks are
+                # empty and cost ~nothing
+                n_part = n_buckets * colocate_salt
+                salt = group.cast("long")
+            out = batch.repartition(
+                n_part, F.col("_bucket").cast("long"), salt
+            )
         else:
             out = batch.repartition(n_buckets, "_bucket")
     else:

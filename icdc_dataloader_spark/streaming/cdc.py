@@ -147,11 +147,20 @@ class CDCPipeline:
         # buckets, salt 4-5 bounds the write straggler at ~share/salt
         # (2.2x faster) while salt 8+ loses the gain to file-count
         # overhead; uniform traffic (share ~ 1/n_buckets) stays at 1 and
-        # pays no file tax.  Heuristic state resets to 1 on restart (one
-        # batch of re-learning, never wrong results — salting only
-        # changes which task writes a bucket's rows).
+        # pays no file tax.  The split targets ONLY the hot buckets
+        # (salt_buckets) — cold buckets keep one file each, so the tax is
+        # paid exactly where the straggler is.  The learned profile
+        # persists in the ledger head (last_batch_rows) and is restored
+        # here on restart; a fresh ledger starts at 1 (one batch of
+        # learning, never wrong results — salting only changes which task
+        # writes a bucket's rows).
         self.colocate_salt = colocate_salt
         self._auto_salt = 1
+        self._auto_salt_buckets: list[int] | None = None
+        if colocate_salt == "auto":
+            self._auto_salt, self._auto_salt_buckets = self._salt_from_rows(
+                ledger.last_batch_rows()
+            )
         self.late_horizon = late_horizon
         self.source_partition_col = source_partition_col
         # ``assume_ordered``: the caller vouches that apply_batch() is fed
@@ -211,23 +220,30 @@ class CDCPipeline:
             .withColumn("_bucket", bucket_expr(self.key_cols, self.lake.n_buckets()))
         )
 
-    def _salt_from_lineage(self, lineage: dict) -> int:
-        """Next batch's colocate salt from this batch's per-bucket row
-        counts (parquet-footer lineage — no extra jobs).
+    def _salt_from_rows(
+        self, rows_by_bucket: dict
+    ) -> tuple[int, list[int] | None]:
+        """Next batch's (colocate salt, hot-bucket list) from per-bucket
+        row counts — parquet-footer lineage, or the ledger head's
+        ``last_batch_rows`` on restart.  Zero extra jobs either way.
 
-        share = hottest bucket's fraction of the batch.  Uniform traffic
-        (share ≲ 2/n_buckets) → 1 (no file tax); skewed → ~share ×
-        n_buckets / 2 capped at 8, the region bench/bucket_skew_bench.py
-        measured as the sweet spot (salt4 at a 30.7% bucket = 2.2×
-        faster; salt8 already loses to file-count overhead)."""
-        total = sum(v["rows"] for v in lineage.values())
+        share = a bucket's fraction of the batch.  Uniform traffic (every
+        share ≲ 2/n_buckets) → (1, None): no split, no file tax.  Skewed →
+        salt ~ max_share × n_buckets / 2 capped at 8 — the region
+        bench/bucket_skew_bench.py measured as the sweet spot (salt4 at a
+        30.7% bucket = 2.2× faster; salt8 already loses to file-count
+        overhead) — applied ONLY to the buckets above the threshold, so
+        cold buckets keep one file each and the tax lands exactly where
+        the straggler is."""
+        total = sum(rows_by_bucket.values())
         if not total:
-            return self._auto_salt
-        share = max(v["rows"] for v in lineage.values()) / total
+            return self._auto_salt, self._auto_salt_buckets
         n = self.lake.n_buckets()
-        if share <= 2.0 / n:
-            return 1
-        return max(2, min(8, round(share * n / 2)))
+        shares = {int(b): r / total for b, r in rows_by_bucket.items()}
+        hot = sorted(b for b, s in shares.items() if s > 2.0 / n)
+        if not hot:
+            return 1, None
+        return max(2, min(8, round(max(shares.values()) * n / 2))), hot
 
     def _heal_ledger(self, batch_df: DataFrame, bid: str) -> None:
         """Re-record a batch the lake committed but the ledger missed
@@ -340,10 +356,20 @@ class CDCPipeline:
                     if self.colocate_salt == "auto"
                     else self.colocate_salt
                 ),
+                salt_buckets=(
+                    self._auto_salt_buckets
+                    if self.colocate_salt == "auto"
+                    else None
+                ),
             )
             lineage = res.get("lineage") or {}
             if self.colocate_salt == "auto":
-                self._auto_salt = self._salt_from_lineage(lineage)
+                self._auto_salt, self._auto_salt_buckets = (
+                    self._salt_from_rows(
+                        {b: (i or {}).get("rows") or 0
+                         for b, i in lineage.items()}
+                    )
+                )
             self._batches_since_compact += 1
             if self._batches_since_compact >= self.compact_every:
                 with timers.phase("compact"):

@@ -126,14 +126,31 @@ def _write_binlog(spark, root, name, rows):
     return os.path.join(root, name)
 
 
-def _ev(seq, op, repo, batch_id, lang="python"):
+def _ev(seq, op, repo, batch_id, lang="python", path="p"):
     return dict(
-        seq=seq, op=op, repo=repo, path="p", src="A",
+        seq=seq, op=op, repo=repo, path=path, src="A",
         commit=None if op == "delete" else f"c{seq}",
         lang=None if op == "delete" else lang,
         content=None if op == "delete" else f"v{seq}",
         batch_id=batch_id,
     )
+
+
+def _paths_by_bucket(spark, repo, n_candidates, n_buckets):
+    """Candidate (repo, path) keys grouped by the lake's own hash bucket —
+    lets a test construct a hot BUCKET out of many DISTINCT keys (a single
+    hot key is collapsed by pre-dedup before the write and exercises
+    nothing)."""
+    from icdc_dataloader_spark.plans.lake import bucket_expr
+
+    df = spark.createDataFrame(
+        [(repo, f"p{i}") for i in range(n_candidates)],
+        "repo string, path string",
+    ).withColumn("_b", bucket_expr(["repo", "path"], n_buckets))
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["_b"], []).append(r["path"])
+    return out
 
 
 def test_quarantine_hold_recorded_and_persisted(spark, tmp_path):
@@ -477,23 +494,48 @@ def test_auto_colocate_salt_adapts_to_bucket_skew(spark, tmp_path):
             assert not res["quarantined"]
         return pipe
 
-    # batch 0: ~85% of rows on one hot key -> its bucket dominates;
-    # batch 1: the salt learned from batch 0 must split the hot bucket
-    hot = [_ev(s, "upsert", "rHot", 0) for s in range(1, 35)] + [
-        _ev(100 + i, "upsert", f"r{i}", 0) for i in range(6)
+    # batch 0: ~85% of rows are DISTINCT keys that share one hash bucket
+    # (a hot repo with many paths — distinct keys survive pre-dedup, so
+    # the bucket's write really is one task's straggler); batch 1: the
+    # salt learned from batch 0 must split that bucket's write
+    by_b = _paths_by_bucket(spark, "rHot", 200, 4)
+    hot_bucket, hot_paths = max(by_b.items(), key=lambda kv: len(kv[1]))
+    cold_paths = [ps[0] for b, ps in by_b.items() if b != hot_bucket]
+    assert len(hot_paths) >= 34 and len(cold_paths) >= 3
+    hot = [
+        _ev(1 + i, "upsert", "rHot", 0, path=hot_paths[i]) for i in range(34)
+    ] + [
+        _ev(100 + i, "upsert", "rHot", 0, path=p)
+        for i, p in enumerate(cold_paths[:3])
     ]
-    hot2 = [_ev(200 + s, "upsert", "rHot", 1) for s in range(30)] + [
-        _ev(300 + i, "upsert", f"r{i}", 1) for i in range(6)
+    hot2 = [
+        _ev(200 + i, "upsert", "rHot", 1, path=hot_paths[i])
+        for i in range(30)
+    ] + [
+        _ev(300 + i, "upsert", "rHot", 1, path=p)
+        for i, p in enumerate(cold_paths[:3])
     ]
 
     auto = drain(str(tmp_path / "auto"), [hot, hot2], "auto")
     assert auto._auto_salt > 1, "skew must raise the learned salt"
+    assert auto._auto_salt_buckets, "skew must identify the hot buckets"
+    # the split is TARGETED: in batch 1's version dir the hot bucket is
+    # written by multiple tasks (several files) while every cold bucket
+    # keeps exactly one file — no global file tax
+    b1 = [f for f in auto.lake.delta_files() if "/v2/" in f"/{f['path']}"]
+    assert b1, "batch 1 must have written delta files under v2"
     per_bucket = {}
-    for f in auto.lake.delta_files():
+    for f in b1:
         per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
-    assert max(per_bucket.values()) > 2, (
+    hot_set = set(auto._auto_salt_buckets)
+    assert max(per_bucket.get(b, 0) for b in hot_set) > 1, (
         "batch 1's hot bucket must have been written by multiple tasks"
     )
+    for b, n_files in per_bucket.items():
+        if b not in hot_set:
+            assert n_files == 1, (
+                f"cold bucket {b} must not pay the salt file tax"
+            )
 
     plain = drain(str(tmp_path / "plain"), [hot, hot2], 1)
 
@@ -510,3 +552,73 @@ def test_auto_colocate_salt_adapts_to_bucket_skew(spark, tmp_path):
     uni = [[_ev(1000 + i, "upsert", f"q{i}", 0) for i in range(40)]]
     auto_u = drain(str(tmp_path / "auto_u"), uni, "auto")
     assert auto_u._auto_salt == 1
+    assert auto_u._auto_salt_buckets is None
+
+
+def test_auto_colocate_salt_survives_restart(spark, tmp_path):
+    """The learned hot-bucket profile persists in the ledger head
+    (last_batch_rows): a NEW pipeline over the same root resumes with the
+    same salt and hot-bucket set instead of re-learning from 1."""
+    root = str(tmp_path / "lake")
+    pipe = make_pipeline(
+        spark, root, n_buckets=4, strategy="mor", compact_every=100,
+        colocate_salt="auto",
+    )
+    by_b = _paths_by_bucket(spark, "rHot", 200, 4)
+    hot_bucket, hot_paths = max(by_b.items(), key=lambda kv: len(kv[1]))
+    cold_paths = [ps[0] for b, ps in by_b.items() if b != hot_bucket]
+    rows = [
+        _ev(1 + i, "upsert", "rHot", 0, path=hot_paths[i]) for i in range(34)
+    ] + [
+        _ev(100 + i, "upsert", "rHot", 0, path=p)
+        for i, p in enumerate(cold_paths[:3])
+    ]
+    d = _write_binlog(spark, root, "d0", rows)
+    assert not pipe.run(spark.read.parquet(d))["quarantined"]
+    assert pipe._auto_salt > 1 and pipe._auto_salt_buckets
+
+    # process death: a fresh pipeline over the same lake+ledger restores
+    # the profile at construction time, before any batch runs
+    pipe2 = make_pipeline(
+        spark, root, n_buckets=4, strategy="mor", compact_every=100,
+        colocate_salt="auto",
+    )
+    assert pipe2._auto_salt == pipe._auto_salt
+    assert pipe2._auto_salt_buckets == pipe._auto_salt_buckets
+
+    # and a fixed-salt pipeline over the same root ignores the hint
+    pipe3 = make_pipeline(
+        spark, root, n_buckets=4, strategy="mor", compact_every=100,
+        colocate_salt=1,
+    )
+    assert pipe3._auto_salt == 1 and pipe3._auto_salt_buckets is None
+
+
+def test_shuffle_partition_id_matches_spark(spark):
+    """The driver-side partition-id oracle (murmur3 of LongType cols,
+    seed 42, pmod) must equal where repartition(P, cols) ACTUALLY puts the
+    row — the exact-split remap in append_delta plans placement with it.
+    Pins the HashPartitioning contract so a Spark upgrade that changes
+    hashing fails here, not as a silent straggler regression."""
+    from icdc_dataloader_spark.plans.merge import (
+        _distinct_partition_salts,
+        shuffle_partition_id,
+    )
+
+    rows = [(b, s) for b in (0, 1, 5, 31, 4095) for s in range(9)]
+    df = spark.createDataFrame(rows, "b long, s long")
+    for P in (4, 8, 32):
+        got = df.repartition(P, "b", "s").select(
+            "b", "s", F.spark_partition_id().alias("pid")
+        ).collect()
+        for r in got:
+            assert r["pid"] == shuffle_partition_id([r["b"], r["s"]], P), (
+                f"placement oracle wrong for ({r['b']},{r['s']}) at P={P}"
+            )
+
+    # the remap delivers what it promises: k mutually-distinct partitions
+    for b in (0, 1, 7, 31):
+        for k in (2, 4, 8):
+            vals = _distinct_partition_salts(b, k, 32)
+            pids = [shuffle_partition_id([b, v], 32) for v in vals]
+            assert len(set(pids)) == k
