@@ -1251,6 +1251,41 @@ QUERIES["cdc_final_state"] = cdc_final_state
 ORACLES["cdc_final_state"] = CDC_FINAL_STATE_SQL
 
 
+def salted_ingest_state(spark, sf_dir):
+    """The same end-to-end replay as :func:`cdc_final_state`, but through
+    a pipeline with ``colocate_salt=4``: every delta bucket is written by
+    multiple tasks (the hot-bucket straggler mitigation,
+    bench/bucket_skew_bench.py), so in-loop compaction, tombstone GC and
+    the final resolve all operate over MULTI-FILE salted buckets.  Salting
+    only changes which task writes a bucket's rows — the oracle state must
+    be bit-identical to the unsalted replay (same SQL as cdc_final_state).
+
+    Driver-gate coverage for the round-5 salted write layout beyond the
+    pytest state-parity pins (test_colocate_salt_same_state_* /
+    test_auto_colocate_salt_*).
+    """
+    from .plans.merge import read_state
+    from .repos import make_pipeline
+
+    mapped = _cdc_mapped_events(_t(spark, sf_dir, "events"))
+    root = _query_workdir("salted_ingest_state", sf_dir)
+    binlog = f"{root}/binlog"
+    mapped.write.partitionBy("batch_id").parquet(binlog)
+    pipe = make_pipeline(
+        spark, f"{root}/lake", n_buckets=8, strategy="mor", compact_every=2,
+        colocate_salt=4,
+    )
+    res = pipe.run(spark.read.parquet(binlog))
+    assert not res.get("quarantined"), res
+    return read_state(spark, pipe.lake).select(
+        "repo", "path", "commit", "lang", "content_sha256"
+    )
+
+
+QUERIES["salted_ingest_state"] = salted_ingest_state
+ORACLES["salted_ingest_state"] = CDC_FINAL_STATE_SQL
+
+
 def schema_evolution_state(spark, sf_dir):
     """North-rule schema evolution, oracle-checked end-to-end: drain even
     event_ids under the base schema, evolve the lake (add ``stars`` long —
