@@ -13,7 +13,11 @@ at the end:
 - consume-side parity (round-5): a ChangeFeedConsumer tails every drain
   and replaying ONLY its increments reconstructs the exact state — the
   feed stays lossless through 100 drains of compaction/GC/vacuum and a
-  mid-soak schema evolution.
+  mid-soak schema evolution;
+- adaptive salting under soak (round-5): the pipeline runs
+  colocate_salt='auto', so the learned hot-bucket profile and salted
+  multi-file delta buckets flow through every lifecycle event above
+  without breaking parity or the footprint bounds.
 """
 
 import hashlib
@@ -110,9 +114,14 @@ def test_100_drain_soak(spark, tmp_path):
     from icdc_dataloader_spark.streaming.feed import ChangeFeedConsumer
 
     rng = np.random.default_rng(42)
+    # colocate_salt='auto' (round-5): the adaptive hot-bucket salting
+    # lives through the whole soak — the learned profile re-derives each
+    # drain from footer lineage, salted multi-file buckets flow through
+    # compaction/GC/vacuum/the feed, and the end-state footprint bounds
+    # below must still hold
     pipe = make_pipeline(
         spark, str(tmp_path / "out"), n_buckets=8, strategy="mor",
-        compact_every=8, late_horizon=0,
+        compact_every=8, late_horizon=0, colocate_salt="auto",
     )
     cons = ChangeFeedConsumer(pipe.lake, str(tmp_path / "feed_ckpt"))
     feed_state = {}
