@@ -48,9 +48,11 @@ def variants(hot_buckets=None):
         "salt8": dict(colocate=True, colocate_salt=8),
         "no_colocate": dict(colocate=False, colocate_salt=1),
     }
-    if hot_buckets is not None:
+    if hot_buckets:
         # what colocate_salt='auto' dispatches to after one batch of
-        # learning: split ONLY the hot buckets, cold buckets keep 1 file
+        # learning: split ONLY the hot buckets, cold buckets keep 1 file.
+        # An empty hot set (uniform input) would silently degrade this
+        # variant to plain colocate, mislabeled — omit it instead.
         v["salt4_targeted"] = dict(
             colocate=True, colocate_salt=4, salt_buckets=hot_buckets,
         )
@@ -93,9 +95,10 @@ def run(n_events: int = 8_000_000, cpus: int = 32) -> dict:
         batch.withColumn("_b", bucket_expr(["repo", "path"], N_BUCKETS))
         .groupBy("_b").count().collect()
     )
+    n_rows = sum(r["count"] for r in per_bucket)  # actual batch rows
     hot_buckets = sorted(
         int(r["_b"]) for r in per_bucket
-        if r["count"] / n_events > 2.0 / N_BUCKETS
+        if r["count"] / n_rows > 2.0 / N_BUCKETS
     )
 
     results = {

@@ -492,13 +492,22 @@ def shuffle_partition_id(values: list[int], n_partitions: int) -> int:
     return ((h % n_partitions) + n_partitions) % n_partitions
 
 
-def _distinct_partition_salts(bucket: int, k: int, n_partitions: int) -> list[int]:
+def _distinct_partition_salts(
+    bucket: int, k: int, n_partitions: int, used: set[int] | None = None,
+) -> list[int]:
     """k salt values for ``bucket`` whose (bucket, salt) rows land in k
     DISTINCT shuffle partitions — raw group ids can murmur3-collide,
     merging two of a hot bucket's groups back into one task and re-growing
-    the straggler the salt exists to remove."""
+    the straggler the salt exists to remove.
+
+    ``used``: pass ONE set across all hot buckets of a write so the
+    avoidance also holds BETWEEN them — two different hot buckets' groups
+    sharing a task halves the bound just like an intra-bucket collision.
+    When every partition is taken the set resets (separation is then
+    physically impossible; k hot groups > n_partitions)."""
     vals: list[int] = []
-    used: set[int] = set()
+    if used is None:
+        used = set()
     c = 0
     while len(vals) < k and c < 1000 * k:
         pid = shuffle_partition_id([bucket, c], n_partitions)
@@ -527,7 +536,7 @@ def append_delta(
     has_new: bool | None = None,
     colocate: bool = True,
     colocate_salt: int = 1,
-    salt_buckets: list[int] | None = None,
+    salt_buckets: dict[int, int] | list[int] | None = None,
 ) -> dict:
     """MoR apply: write the batch as delta files — NO base rewrite.
 
@@ -597,27 +606,36 @@ def append_delta(
     # file count to shave one straggler, which is the wrong trade.
     if colocate:
         if colocate_salt > 1:
-            group = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(colocate_salt))
             if salt_buckets is not None:
                 # TARGETED split (the colocate_salt='auto' path): only the
-                # listed hot buckets split, and each one's k salt values
-                # are chosen driver-side so their (bucket, salt) rows
-                # provably land in k DISTINCT shuffle partitions —
-                # murmur3 can otherwise merge two groups into one task
-                # and silently re-grow the straggler.  Cold buckets keep
+                # listed hot buckets split — each with its OWN k (a dict
+                # {bucket: k}; a list means uniform k=colocate_salt) so a
+                # barely-hot bucket isn't over-split to the hottest one's
+                # degree — and every hot bucket's k salt values are chosen
+                # driver-side (one shared `used` set) so all hot groups of
+                # the write provably land in DISTINCT shuffle partitions;
+                # murmur3 can otherwise merge two groups into one task and
+                # silently re-grow the straggler.  Cold buckets keep
                 # salt 0: one task, one file, no tax.
+                hot = (
+                    {int(b): int(k) for b, k in salt_buckets.items()}
+                    if isinstance(salt_buckets, dict)
+                    else {int(b): colocate_salt for b in salt_buckets}
+                )
                 n_part = n_buckets
+                taken: set[int] = set()
                 expr = None
-                for b in salt_buckets:  # empty list -> salt 0 everywhere
+                for b, k in sorted(hot.items()):  # empty -> salt 0 all
+                    k = max(2, min(k, n_part))
                     remap = F.element_at(
                         F.array(*[
                             F.lit(v).cast("long") for v in
-                            _distinct_partition_salts(
-                                int(b), colocate_salt, n_part)
+                            _distinct_partition_salts(b, k, n_part, taken)
                         ]),
-                        (group + 1).cast("int"),
+                        (F.pmod(F.xxhash64(F.col(seq_col)), F.lit(k))
+                         + 1).cast("int"),
                     )
-                    w = F.col("_bucket") == int(b)
+                    w = F.col("_bucket") == b
                     expr = (F.when(w, remap) if expr is None
                             else expr.when(w, remap))
                 salt = (expr.otherwise(F.lit(0).cast("long"))
@@ -625,11 +643,16 @@ def append_delta(
             else:
                 # GLOBAL split (fixed colocate_salt on every bucket):
                 # per-bucket remap would need an n_buckets-branch
-                # expression, so collisions are handled probabilistically
-                # instead — salt x the partition count; surplus tasks are
-                # empty and cost ~nothing
-                n_part = n_buckets * colocate_salt
-                salt = group.cast("long")
+                # expression and widening the partition count multiplies
+                # scheduled tasks at thousands of buckets, so this path
+                # keeps n_buckets partitions and accepts probabilistic
+                # collisions (measured: a salt-8 split can read as /4 —
+                # BENCH/BASELINE.md).  The auto/targeted path above is
+                # the exact, recommended one.
+                n_part = n_buckets
+                salt = F.pmod(
+                    F.xxhash64(F.col(seq_col)), F.lit(colocate_salt)
+                ).cast("long")
             out = batch.repartition(
                 n_part, F.col("_bucket").cast("long"), salt
             )

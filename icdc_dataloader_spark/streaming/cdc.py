@@ -63,6 +63,7 @@ class CDCPipeline:
         retry_ttl: int = 3,
         colocate_deltas: bool = True,
         colocate_salt: int | str = 1,
+        salt_floor_rows: int = 50_000,
         late_horizon: int | None = 0,
         assume_ordered: bool = False,
         source_partition_col: str | None = None,
@@ -154,9 +155,18 @@ class CDCPipeline:
         # here on restart; a fresh ledger starts at 1 (one batch of
         # learning, never wrong results — salting only changes which task
         # writes a bucket's rows).
+        if isinstance(colocate_salt, str) and colocate_salt != "auto":
+            raise ValueError(
+                f"colocate_salt must be an int or 'auto': {colocate_salt!r}"
+            )
         self.colocate_salt = colocate_salt
+        # minimum hot-bucket row count before 'auto' salts it: a tiny
+        # batch is always "skewed" by share but a few-thousand-row write
+        # has no straggler worth a file-count tax (set 0 to salt on share
+        # alone — tests do)
+        self.salt_floor_rows = salt_floor_rows
         self._auto_salt = 1
-        self._auto_salt_buckets: list[int] | None = None
+        self._auto_salt_buckets: dict[int, int] | None = None
         if colocate_salt == "auto":
             self._auto_salt, self._auto_salt_buckets = self._salt_from_rows(
                 ledger.last_batch_rows()
@@ -222,28 +232,39 @@ class CDCPipeline:
 
     def _salt_from_rows(
         self, rows_by_bucket: dict
-    ) -> tuple[int, list[int] | None]:
-        """Next batch's (colocate salt, hot-bucket list) from per-bucket
+    ) -> tuple[int, dict[int, int] | None]:
+        """Next batch's (max salt, {hot bucket: its salt}) from per-bucket
         row counts — parquet-footer lineage, or the ledger head's
         ``last_batch_rows`` on restart.  Zero extra jobs either way.
 
         share = a bucket's fraction of the batch.  Uniform traffic (every
-        share ≲ 2/n_buckets) → (1, None): no split, no file tax.  Skewed →
-        salt ~ max_share × n_buckets / 2 capped at 8 — the region
-        bench/bucket_skew_bench.py measured as the sweet spot (salt4 at a
-        30.7% bucket = 2.2× faster; salt8 already loses to file-count
-        overhead) — applied ONLY to the buckets above the threshold, so
-        cold buckets keep one file each and the tax lands exactly where
-        the straggler is."""
+        share ≲ 2/n_buckets) → (1, None): no split, no file tax.  A hot
+        bucket gets its OWN k ~ share × n_buckets / 2, clamped to [2, 8] —
+        the region bench/bucket_skew_bench.py measured as the sweet spot
+        (salt4 at a 30.7% bucket = 2.2× faster; salt8 already loses to
+        file-count overhead).  Only buckets above the share threshold AND
+        ``salt_floor_rows`` split, so cold buckets and trickle batches
+        keep one file each and the tax lands exactly where a straggler
+        can exist."""
         total = sum(rows_by_bucket.values())
         if not total:
             return self._auto_salt, self._auto_salt_buckets
         n = self.lake.n_buckets()
-        shares = {int(b): r / total for b, r in rows_by_bucket.items()}
-        hot = sorted(b for b, s in shares.items() if s > 2.0 / n)
+        # per-bucket k (not one global k from the hottest bucket): a
+        # barely-hot bucket at share ~2/n gets k=2, not the k=8 a
+        # 50%-share bucket earns — the file tax matches each bucket's own
+        # straggler.  salt_floor_rows guards trickle traffic: a 5-row
+        # batch is always "100% skewed" by share but has no straggler to
+        # split, and without the floor its learned profile would tax
+        # every following batch (and persist across restarts).
+        hot = {
+            int(b): max(2, min(8, round((r / total) * n / 2)))
+            for b, r in rows_by_bucket.items()
+            if r / total > 2.0 / n and r >= self.salt_floor_rows
+        }
         if not hot:
             return 1, None
-        return max(2, min(8, round(max(shares.values()) * n / 2))), hot
+        return max(hot.values()), hot
 
     def _heal_ledger(self, batch_df: DataFrame, bid: str) -> None:
         """Re-record a batch the lake committed but the ledger missed

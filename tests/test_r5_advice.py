@@ -486,7 +486,7 @@ def test_auto_colocate_salt_adapts_to_bucket_skew(spark, tmp_path):
     def drain(root, batches, salt):
         pipe = make_pipeline(
             spark, root, n_buckets=4, strategy="mor", compact_every=100,
-            colocate_salt=salt,
+            colocate_salt=salt, salt_floor_rows=0,
         )
         for i, rows in enumerate(batches):
             d = _write_binlog(spark, root, f"d{i}", rows)
@@ -562,7 +562,7 @@ def test_auto_colocate_salt_survives_restart(spark, tmp_path):
     root = str(tmp_path / "lake")
     pipe = make_pipeline(
         spark, root, n_buckets=4, strategy="mor", compact_every=100,
-        colocate_salt="auto",
+        colocate_salt="auto", salt_floor_rows=0,
     )
     by_b = _paths_by_bucket(spark, "rHot", 200, 4)
     hot_bucket, hot_paths = max(by_b.items(), key=lambda kv: len(kv[1]))
@@ -581,7 +581,7 @@ def test_auto_colocate_salt_survives_restart(spark, tmp_path):
     # the profile at construction time, before any batch runs
     pipe2 = make_pipeline(
         spark, root, n_buckets=4, strategy="mor", compact_every=100,
-        colocate_salt="auto",
+        colocate_salt="auto", salt_floor_rows=0,
     )
     assert pipe2._auto_salt == pipe._auto_salt
     assert pipe2._auto_salt_buckets == pipe._auto_salt_buckets
@@ -622,3 +622,44 @@ def test_shuffle_partition_id_matches_spark(spark):
             vals = _distinct_partition_salts(b, k, 32)
             pids = [shuffle_partition_id([b, v], 32) for v in vals]
             assert len(set(pids)) == k
+
+    # ...and ACROSS hot buckets when a shared `used` set is threaded (two
+    # different hot buckets' groups sharing a task halves the bound just
+    # like an intra-bucket collision)
+    taken = set()
+    all_pids = []
+    for b in (0, 1, 7):
+        vals = _distinct_partition_salts(b, 4, 32, taken)
+        all_pids += [shuffle_partition_id([b, v], 32) for v in vals]
+    assert len(set(all_pids)) == 12
+
+
+def test_auto_salt_floor_ignores_trickle_batches(spark, tmp_path):
+    """A tiny 100%-skewed batch must NOT teach the pipeline to salt: by
+    share alone every trickle batch looks maximally hot, but a few-row
+    write has no straggler, and the learned tax would hit every following
+    batch (and persist across restarts).  Default salt_floor_rows guards
+    this; the other auto tests set it to 0 to test the mechanism."""
+    root = str(tmp_path / "lake")
+    pipe = make_pipeline(
+        spark, root, n_buckets=4, strategy="mor", compact_every=100,
+        colocate_salt="auto",  # default salt_floor_rows=50k
+    )
+    by_b = _paths_by_bucket(spark, "rHot", 60, 4)
+    _, hot_paths = max(by_b.items(), key=lambda kv: len(kv[1]))
+    rows = [
+        _ev(1 + i, "upsert", "rHot", 0, path=hot_paths[i]) for i in range(8)
+    ]
+    d = _write_binlog(spark, root, "d0", rows)
+    assert not pipe.run(spark.read.parquet(d))["quarantined"]
+    assert pipe._auto_salt == 1 and pipe._auto_salt_buckets is None
+
+
+def test_colocate_salt_rejects_bad_string(spark, tmp_path):
+    """A typo'd mode ('Auto') must fail at construction with a clear
+    ValueError, not deep in the first write with a str/int TypeError."""
+    with pytest.raises(ValueError, match="colocate_salt"):
+        make_pipeline(
+            spark, str(tmp_path / "lake"), n_buckets=4, strategy="mor",
+            colocate_salt="Auto",
+        )

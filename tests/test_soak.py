@@ -119,9 +119,12 @@ def test_100_drain_soak(spark, tmp_path):
     # drain from footer lineage, salted multi-file buckets flow through
     # compaction/GC/vacuum/the feed, and the end-state footprint bounds
     # below must still hold
+    # (salt_floor_rows=0: soak drains are 150 rows — far below the
+    # production floor — and the point here is exercising the mechanism)
     pipe = make_pipeline(
         spark, str(tmp_path / "out"), n_buckets=8, strategy="mor",
         compact_every=8, late_horizon=0, colocate_salt="auto",
+        salt_floor_rows=0,
     )
     cons = ChangeFeedConsumer(pipe.lake, str(tmp_path / "feed_ckpt"))
     feed_state = {}
