@@ -38,6 +38,27 @@ HEADLINE = [
 ]
 
 
+def _hw_probe_mhs(procs: int = 32) -> float:
+    """32-proc sha256-burn throughput (Mhashes/s) — the same hardware
+    probe BENCH/BASELINE.md's bracket protocol uses.  This VM's deliverable
+    CPU oscillates between a fast (~45-58 Mh/s) and a slow (~19 Mh/s)
+    regime within hours; emitting the probe before AND after the run makes
+    each bench line self-describing about which regime it measured."""
+    import subprocess
+
+    code = (
+        "import hashlib\nh=b'x'\n"
+        "for i in range(1_500_000): h=hashlib.sha256(h).digest()"
+    )
+    t0 = time.time()
+    ps = [
+        subprocess.Popen([sys.executable, "-c", code]) for _ in range(procs)
+    ]
+    for p in ps:
+        p.wait()
+    return round(procs * 1_500_000 / (time.time() - t0) / 1e6, 2)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -47,6 +68,8 @@ def main():
     from icdc_dataloader_spark.repos import make_pipeline
     from icdc_dataloader_spark.session import get_spark
     from icdc_dataloader_spark.sources.gen import gen_events_spark
+
+    hw_before = _hw_probe_mhs()
 
     spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
 
@@ -145,6 +168,10 @@ def main():
                 "cdc_events": n_cdc_events,
                 "cdc_events_per_sec": cdc_eps,
                 "lsh_recall_at_10": lsh_recall,
+                # VM-regime bracket (see BENCH/BASELINE.md): 32-proc
+                # sha256-burn Mh/s before/after — fast regime ~45-58,
+                # slow regime ~19.  Wall-clock legs scale with this.
+                "hw_probe_mhs": {"before": hw_before, "after": _hw_probe_mhs()},
             }
         )
     )

@@ -297,17 +297,28 @@ def minhash_lsh_dedup(
       self-join — an oversized bucket is non-discriminative (stop-phrase
       shingles) and would contribute O(size^2) candidate pairs;
     - the self-join and pair-dedup carry ONLY ids; the 32-long signatures
-      are re-attached to the deduplicated pairs afterwards.
+      are re-attached to the deduplicated pairs afterwards;
+    - the signature DataFrame is PERSISTED: the plan references it four
+      times (banding -> bucket-size agg, banding -> capped join, and both
+      sides of the signature re-attach), and without a persist Spark
+      recomputes the shingle->num_hashes-min subtree — by far the most
+      expensive stage — once per reference.  Signatures are tiny
+      ((id, num_hashes x long) ~ 300 B/row vs multi-KB documents), so
+      MEMORY_AND_DISK holds ~3 GB per 10^7 docs per executor-fleet and
+      spills gracefully; compute-once here is a ~4x saving on the dominant
+      stage at any scale.
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
+    from pyspark import StorageLevel
+
     from ..functions.porthash import hex_int
 
     rows = num_hashes // bands
     band_hash_fn = hex_int if hash_mode == "portable" else F.xxhash64
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, hash_mode=hash_mode
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -463,12 +474,22 @@ def ngram_jaccard_pairs(
     |A ∪ B| = |A| + |B| - shared.  The join is equi on the n-gram; frequency
     cap (drop n-grams appearing in > 1000 docs) bounds the blow-up on
     stop-phrase n-grams at scale.
+
+    ``grams`` is persisted: the plan references it five times (per-doc
+    sizes, gram frequencies, the capped set, and both sides of the
+    self-join) and each reference would otherwise re-split and re-shingle
+    every document — the same compute-once discipline as
+    :func:`minhash_lsh_dedup`'s signature persist.  MEMORY_AND_DISK
+    spills the exploded (id, gram) relation gracefully when it outgrows
+    executor memory.
     Output: (id_a, id_b, jaccard).
     """
+    from pyspark import StorageLevel
+
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("gram"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
     grams_capped = grams.join(

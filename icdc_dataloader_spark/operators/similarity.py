@@ -50,16 +50,23 @@ def cosine_topk(
 
     ``queries`` is broadcast (small side); rank ties broken by neighbor id
     so results are fully deterministic.
+
+    Norms are computed ONCE PER SIDE before the join, not per pair: each
+    side carries a precomputed ``_?n`` column, so the O(|corpus|x|queries|)
+    inner loop evaluates only the dot product.  Same double arithmetic and
+    operand order as the inline form, so the rounded sim is bit-identical
+    (the DuckDB oracle still matches value-for-value); at 10^9 x 10^3 pairs
+    this removes two 64-element aggregate expressions from every pair.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", _norm(F.col("_cv")))
     sim = F.try_divide(
         _dot(F.col("_qv"), F.col("_cv")),
-        _norm(F.col("_qv")) * _norm(F.col("_cv")),
+        F.col("_qn") * F.col("_cn"),
     )  # zero-norm vectors -> NULL sim (ranked last), not an ANSI error
     if round_digits is not None:
         sim = F.round(sim, round_digits)
