@@ -154,6 +154,17 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
     A degenerate bucket (e.g. all-zero vectors collapsing every comparison
     to 'equal') would otherwise contribute O(size^2) candidate pairs —
     same cap as minhash_lsh_dedup (dedup.py) applies.
+
+    ``banded`` is deliberately NOT persisted even though the plan
+    references it twice (sizes agg + capped join) — the opposite call from
+    minhash_lsh_dedup's signature persist.  The asymmetry is
+    cost-shape: a minhash signature is an expensive REDUCTION (shingle
+    explode + 32-way min agg) that caches tiny, while ``banded`` is a
+    cheap shuffle-free EXPANSION (a few float comparisons per row,
+    n_tables rows out per row in, each carrying the full vector).
+    Recomputing it costs one extra columnar scan + projection;
+    persisting it would materialize n_tables x corpus x vector bytes.
+    At 10^9 vectors recompute wins by orders of magnitude.
     """
     sizes = banded.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     return banded.join(
