@@ -46,15 +46,25 @@ B_MOD = 1 << 55
 FAMILY_MAX_I = 63
 
 
-def hash_pair(col: Column) -> Column:
-    """(a, b) family basis from one md5 — feed to :func:`family_member`."""
-    d = F.md5(col)
+def hash_pair_from_digest(digest: Column) -> Column:
+    """(a, b) family basis from an already-computed md5 hex digest column.
+
+    Split out so callers can materialize the digest in its own projection
+    and provably pay ONE md5 per input (inside higher-order-function
+    lambdas the interpreted evaluator re-computes duplicated subtrees;
+    codegen's subexpression elimination does not apply there)."""
     return F.struct(
-        F.conv(F.substring(d, 1, N_HEX), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(digest, 1, N_HEX), 16, 10).cast("long").alias("a"),
         F.pmod(
-            F.conv(F.substring(d, 16, N_HEX), 16, 10).cast("long"), F.lit(B_MOD)
+            F.conv(F.substring(digest, 16, N_HEX), 16, 10).cast("long"),
+            F.lit(B_MOD),
         ).alias("b"),
     )
+
+
+def hash_pair(col: Column) -> Column:
+    """(a, b) family basis from one md5 — feed to :func:`family_member`."""
+    return hash_pair_from_digest(F.md5(col))
 
 
 def family_member(pair: Column, i: int) -> Column:

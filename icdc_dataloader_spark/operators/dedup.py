@@ -240,38 +240,45 @@ def minhash_signatures(
 
     Output: (id, sig: array<long>).
     """
-    from ..functions.porthash import family_member, hash_pair
+    from ..functions.porthash import family_member, hash_pair_from_digest
 
     if repartition:
         sc = df.sparkSession.sparkContext
         df = df.repartition(sc.defaultParallelism)
-    # shingle strings -> one base hash per shingle, materialized as a column.
-    # Portable mode materializes the (a, b) Kirsch-Mitzenmacher basis from a
-    # SINGLE md5 per shingle; all num_hashes family members are then one
-    # multiply-add each (porthash.family_member) — bit-identical in DuckDB.
-    # NB: transform lambdas must be unary — a second parameter would be
-    # bound to the array INDEX by Spark's higher-order-function protocol.
-    base_hash = hash_pair if hash_mode == "portable" else F.xxhash64
-    base = df.select(
+    # Plan shape (round 6): explode the shingles and take the num_hashes
+    # mins in ONE whole-stage-codegen hash aggregate instead of
+    # num_hashes array_min(transform(...)) passes.  Higher-order-function
+    # lambdas are evaluated by the INTERPRETED expression evaluator (no
+    # codegen, no subexpression elimination), so the old shape paid
+    # interpreted per-element eval 33x per shingle AND re-computed the md5
+    # inside the lambda; exploding moves the base hash into a codegen'd
+    # projection (one md5/xxhash64 per shingle, guaranteed by hashing the
+    # digest column) and the mins into a codegen'd partial aggregate.
+    # Same values: min over the exploded multiset == array_min over the
+    # array, member arithmetic unchanged (measured ~6x on the portable
+    # leg, see OPTIMIZATION_r06.md).  A NULL shingle (NULL text) yields a
+    # NULL-sig row in both shapes: explode keeps NULL *elements* (only
+    # NULL/empty arrays drop rows, and _shingles never returns those).
+    sh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            _shingles(F.col(text_col), shingle_k), lambda s: base_hash(s)
-        ).alias("_sh"),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("_s"),
     )
     if hash_mode == "portable":
-        def _member_i(i):
-            return lambda p: family_member(p, i)
+        # Kirsch-Mitzenmacher basis from ONE md5 per shingle; each family
+        # member is a multiply-add — bit-identical in DuckDB.
+        hashed = sh.select(
+            "id", hash_pair_from_digest(F.md5(F.col("_s"))).alias("_p")
+        )
+        members = [family_member(F.col("_p"), i) for i in range(num_hashes)]
     else:
-        def _member_i(i):
-            return lambda h: F.xxhash64(h, F.lit(i))
-
-    mins = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), _member_i(i)))
-            for i in range(num_hashes)
-        ]
+        hashed = sh.select("id", F.xxhash64(F.col("_s")).alias("_h"))
+        members = [F.xxhash64(F.col("_h"), F.lit(i)) for i in range(num_hashes)]
+    agg = hashed.groupBy("id").agg(
+        *[F.min(m).alias(f"_m{i}") for i, m in enumerate(members)]
     )
-    return base.select("id", mins.alias("sig"))
+    return agg.select(
+        "id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_dedup(
@@ -298,27 +305,31 @@ def minhash_lsh_dedup(
       shingles) and would contribute O(size^2) candidate pairs;
     - the self-join and pair-dedup carry ONLY ids; the 32-long signatures
       are re-attached to the deduplicated pairs afterwards;
-    - the signature DataFrame is PERSISTED: the plan references it four
-      times (banding -> bucket-size agg, banding -> capped join, and both
-      sides of the signature re-attach), and without a persist Spark
-      recomputes the shingle->num_hashes-min subtree — by far the most
-      expensive stage — once per reference.  Signatures are tiny
-      ((id, num_hashes x long) ~ 300 B/row vs multi-KB documents), so
-      MEMORY_AND_DISK holds ~3 GB per 10^7 docs per executor-fleet and
-      spills gracefully; compute-once here is a ~4x saving on the dominant
-      stage at any scale.
+    - the signature DataFrame is MATERIALIZED ONCE via localCheckpoint:
+      the plan references it four times (banding -> bucket-size agg,
+      banding -> capped join, and both sides of the signature re-attach),
+      and without materialization Spark recomputes the
+      shingle->num_hashes-min subtree — by far the most expensive stage —
+      once per reference (4 references eliminated; measured ~30x on the
+      xx64 leg at sf0.1 where the subtree dominated, see
+      BENCH/BASELINE.md round 5).  Signatures are tiny
+      ((id, num_hashes x long) ~ 300 B/row vs multi-KB documents, ~3 GB
+      per 10^7 docs with overhead) and spill gracefully.
+      ``localCheckpoint`` rather than ``persist``: cache entries are
+      pinned by the CacheManager until an explicit unpersist — in a
+      long-lived session every call would leak its signature cache —
+      while a checkpointed RDD is released by the ContextCleaner as soon
+      as the result DataFrame is garbage-collected (advice round 5).
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
     """
-    from pyspark import StorageLevel
-
     from ..functions.porthash import hex_int
 
     rows = num_hashes // bands
     band_hash_fn = hex_int if hash_mode == "portable" else F.xxhash64
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, hash_mode=hash_mode
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -475,21 +486,22 @@ def ngram_jaccard_pairs(
     cap (drop n-grams appearing in > 1000 docs) bounds the blow-up on
     stop-phrase n-grams at scale.
 
-    ``grams`` is persisted: the plan references it five times (per-doc
-    sizes, gram frequencies, the capped set, and both sides of the
-    self-join) and each reference would otherwise re-split and re-shingle
-    every document — the same compute-once discipline as
-    :func:`minhash_lsh_dedup`'s signature persist.  MEMORY_AND_DISK
-    spills the exploded (id, gram) relation gracefully when it outgrows
-    executor memory.
+    ``grams`` is materialized once via localCheckpoint: the plan
+    references it five times (per-doc sizes, gram frequencies, the capped
+    set, and both sides of the self-join) and each reference would
+    otherwise re-split and re-shingle every document — the same
+    compute-once discipline as :func:`minhash_lsh_dedup`'s signatures.
+    localCheckpoint rather than persist because the exploded (id, gram)
+    relation is several times the corpus size and a CacheManager entry
+    would pin it for the whole session (advice round 5: the worst of the
+    two leaks); a checkpointed RDD spills the same way (MEMORY_AND_DISK)
+    but is released by the ContextCleaner once the result is dropped.
     Output: (id_a, id_b, jaccard).
     """
-    from pyspark import StorageLevel
-
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_"))
     grams_capped = grams.join(

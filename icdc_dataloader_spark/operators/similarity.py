@@ -130,22 +130,27 @@ def _tabled_buckets(
     n_tables: int,
     seed: int,
 ) -> DataFrame:
-    """(id, vec, table_id, bucket) — one row per (input row, hash table)."""
-    parts = []
-    for t in range(n_tables):
-        pairs = wta_pairs(dim, n_planes, seed + 1000 * t)
-        parts.append(
-            df.select(
-                F.col(id_col).alias(role_id),
-                F.col(vec_col).alias(f"_{role_id}_v"),
-                F.lit(t).alias("table_id"),
-                wta_bucket_expr(F.col(vec_col), pairs).alias("bucket"),
+    """(id, vec, table_id, bucket) — one row per (input row, hash table).
+
+    Emitted as ONE scan + posexplode of the per-table bucket array rather
+    than an n_tables-way union of projections: the union scanned the
+    corpus once per table (n_tables Scan branches, each its own codegen
+    unit), while posexplode computes every table's bucket in a single
+    codegen'd projection pass.  Row set is identical (table_id = array
+    position)."""
+    buckets = F.array(
+        *[
+            wta_bucket_expr(
+                F.col(vec_col), wta_pairs(dim, n_planes, seed + 1000 * t)
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(role_id),
+        F.col(vec_col).alias(f"_{role_id}_v"),
+        F.posexplode(buckets).alias("table_id", "bucket"),
+    )
 
 
 def _cap_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -236,7 +241,12 @@ def lsh_topk(
     qb = _tabled_buckets(
         queries, "query_id", id_col, vec_col, dim, n_planes, n_tables, seed
     )
-    cand = cb.join(qb, ["table_id", "bucket"]).select(
+    # the query side is small by contract (a probe set, not a corpus):
+    # broadcast it so the banded corpus is never shuffled for this join —
+    # without the hint the planner's size estimate for the exploded union
+    # picked a sort-merge join, paying a full shuffle+sort of the corpus
+    # buckets (plans/r06/lsh_ann_topk_bench_before.txt)
+    cand = cb.join(F.broadcast(qb), ["table_id", "bucket"]).select(
         "query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v"
     ).dropDuplicates(["query_id", "neighbor_id"])
     # try_divide: a zero-norm vector (all-zero embedding — real corpora

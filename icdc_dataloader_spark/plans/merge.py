@@ -71,6 +71,7 @@ def resolve(
     version: int | None = None,
     buckets: list[int] | None = None,
     project: list[str] | None = None,
+    bucket_partition: bool = False,
 ) -> DataFrame:
     """Current table rows with merge-on-read deltas resolved.
 
@@ -119,6 +120,8 @@ def resolve(
         bset = set(buckets)
         deltas = [f for f in deltas if f["bucket"] in bset]
     if not deltas:
+        if bucket_partition:
+            return df.repartition(lake.n_buckets(), "_bucket")
         return df
 
     order = _lww_order("_seq", lake.tiebreakers())
@@ -128,27 +131,64 @@ def resolve(
     # gets this for free because the tombstone physically replaces the old
     # row; computing min over ALL non-delete rows here resurrected the
     # pre-delete lineage).
-    dels = (
-        df.filter(F.col("_op") == OP_DELETE)
-        .groupBy(*key_cols)
-        .agg(F.max("_seq").alias("_del_max"))
-        .select(
-            *[F.col(k).alias(f"_dk_{k}") for k in key_cols], "_del_max"
+    if bucket_partition:
+        # Compaction path (round 6).  The old shape paid for the tombstone
+        # watermark with a per-key aggregate JOINED back — planned as a
+        # sort-merge join whose ENSURE_REQUIREMENTS exchange shuffled the
+        # full payload by null-safe key, followed by the winner
+        # aggregation's exchange and compact()'s repartition(_bucket):
+        # three payload exchanges and repeated full sorts.  Here the
+        # payload moves ONCE: repartition by _bucket, then the watermark
+        # is a window over (_bucket, keys) — HashPartitioning(_bucket)
+        # satisfies the window's clustered distribution because _bucket is
+        # a pure function of the bucket columns, so no further exchange —
+        # and the winner SortAggregate groups on (_bucket, keys), reusing
+        # both the partitioning and the window's (bucket, keys) sort
+        # order.  Window partitioning groups NULL key components together
+        # exactly like the old eqNullSafe join did.  Output lands already
+        # clustered one bucket per partition for the write (guide §2.4:
+        # 3 Exchange -> 1; see OPTIMIZATION_r06.md for the measured A/B).
+        from pyspark.sql.window import Window
+
+        main = df.repartition(lake.n_buckets(), "_bucket")
+        wspec = Window.partitionBy("_bucket", *key_cols)
+        main = main.withColumn(
+            "_del_max",
+            F.max(
+                F.when(F.col("_op") == OP_DELETE, F.col("_seq"))
+            ).over(wspec),
         )
-    )
-    # groupBy buckets NULL key components together, so the watermark join
-    # must too: null-unsafe equality would detach a NULL-keyed tombstone
-    # from its rows and silently skip their delete->recreate lineage reset
-    cond = None
-    for k in key_cols:
-        c = F.col(k).eqNullSafe(F.col(f"_dk_{k}"))
-        cond = c if cond is None else (cond & c)
-    df = df.join(dels, cond, "left").drop(*[f"_dk_{k}" for k in key_cols])
+        group_cols = ["_bucket"] + key_cols
+    else:
+        # read-path shape (unchanged): column-pruned tombstone aggregate
+        # joined back — AQE broadcasts it when small, and the winner
+        # aggregation's map-side partial phase bounds per-task sort state
+        # by the input split size (see the round-5 measurements above)
+        dels = (
+            df.filter(F.col("_op") == OP_DELETE)
+            .groupBy(*key_cols)
+            .agg(F.max("_seq").alias("_del_max"))
+            .select(
+                *[F.col(k).alias(f"_dk_{k}") for k in key_cols], "_del_max"
+            )
+        )
+        # groupBy buckets NULL key components together, so the watermark
+        # join must too: null-unsafe equality would detach a NULL-keyed
+        # tombstone from its rows and silently skip their delete->recreate
+        # lineage reset
+        cond = None
+        for k in key_cols:
+            c = F.col(k).eqNullSafe(F.col(f"_dk_{k}"))
+            cond = c if cond is None else (cond & c)
+        main = df.join(dels, cond, "left").drop(
+            *[f"_dk_{k}" for k in key_cols]
+        )
+        group_cols = list(key_cols)
     alive_after_delete = (F.col("_op") != OP_DELETE) & (
         F.col("_del_max").isNull() | (F.col("_seq") > F.col("_del_max"))
     )
     return (
-        df.groupBy(*key_cols)
+        main.groupBy(*group_cols)
         .agg(
             F.max_by(payload, order).alias("_w"),
             F.min(
@@ -777,13 +817,17 @@ def compact(
         )
         if not buckets:
             return lake.latest_version()  # nothing ripe: no-op
-    winners = resolve(spark, lake, buckets=buckets)
+    # bucket_partition=True: resolve hash-partitions its INPUT by _bucket
+    # and groups on (_bucket, keys), so the output is already laid out one
+    # bucket per partition — no second payload shuffle before the write
+    # (plan: 2 Exchange -> 1; see OPTIMIZATION_r06.md)
+    winners = resolve(spark, lake, buckets=buckets, bucket_partition=True)
     if drop_tombstones_below_seq is not None:
         winners = winners.filter(
             (F.col("_op") != OP_DELETE)
             | (F.col("_seq") >= drop_tombstones_below_seq)
         )
-    out = _align(winners, schema).repartition(lake.n_buckets(), "_bucket")
+    out = _align(winners, schema)
     new_version = lake.latest_version() + 1
     if buckets is None:
         carried: list[dict] = []

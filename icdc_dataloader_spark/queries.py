@@ -555,13 +555,30 @@ FROM documents GROUP BY md5(text) ORDER BY rep_id
 
 
 def token_count_quality(spark, sf_dir):
+    # tokenize ONCE per case-variant in a dedicated projection and compute
+    # all measures from the materialized arrays: the inline form re-split
+    # the text ~5x per row (higher-order-function lambdas are interpreted —
+    # no codegen subexpression elimination dedups them).  Same expressions
+    # over the same arrays, so every value is bit-identical.
     docs = _t(spark, sf_dir, "documents")
-    c = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        TXT.token_count(c).alias("n_tokens"),
-        F.round(TXT.mean_token_length(c), 4).alias("mean_token_len"),
-        F.round(TXT.stopword_ratio(c), 4).alias("stopword_ratio"),
+        TXT.tokens(F.col("text")).alias("_t"),
+        TXT.tokens(F.lower(F.col("text"))).alias("_lt"),
+    )
+    t, lt = F.col("_t"), F.col("_lt")
+    n = F.size(t)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean = F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in TXT.EN_STOPWORDS])
+    ln = F.size(lt)
+    hits = F.size(F.filter(lt, lambda x: F.array_contains(sw, x)))
+    swr = F.when(ln > 0, hits / ln.cast("double")).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean, 4).alias("mean_token_len"),
+        F.round(swr, 4).alias("stopword_ratio"),
     ).orderBy("doc_id")
 
 
@@ -586,27 +603,34 @@ FROM t ORDER BY doc_id
 
 
 def lang_id_heuristic(spark, sf_dir):
+    # Round 6 plan change, same values: the explode + window(rn=1) shape
+    # shuffled 4 rows per doc just to pick the per-doc max — and
+    # TXT.lang_scores re-tokenized the text once per language.  Now the
+    # lower-cased tokens are materialized ONCE, the four scores are
+    # computed from that array, and the winner is array_max over
+    # (score, lang) structs — exactly the window's (score DESC, lang DESC)
+    # order, with no exchange at all.  Score expressions are unchanged
+    # term-for-term, so every value matches the oracle bit-for-bit.
     docs = _t(spark, sf_dir, "documents")
-    scores = TXT.lang_scores(F.col("text"))
-    long = docs.select(
+    base = docs.select(
+        "doc_id", TXT.tokens(F.lower(F.col("text"))).alias("_lt")
+    )
+    n = F.size(F.col("_lt"))
+    pairs = []
+    for lang, markers in sorted(TXT.LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(F.col("_lt"), lambda t: F.array_contains(arr, t)))
+        score = F.when(n > 0, F.round(hits / n.cast("double"), 6)).otherwise(
+            F.lit(0.0)
+        )
+        pairs.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    scored = base.select("doc_id", F.array_max(F.array(*pairs)).alias("_best"))
+    return scored.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("lang"), v.alias("score"))
-                    for k, v in sorted(scores.items())
-                ]
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.lang", "s.score")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").desc())
-    best = long.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.select(
-        "doc_id",
-        F.when(F.col("score") > 0, F.col("lang")).otherwise("und").alias("pred_lang"),
-        F.col("score").alias("best_score"),
+        F.when(F.col("_best.score") > 0, F.col("_best.lang"))
+        .otherwise("und")
+        .alias("pred_lang"),
+        F.col("_best.score").alias("best_score"),
     ).orderBy("doc_id")
 
 

@@ -141,6 +141,39 @@ def _load_aligned(files: list, cols: list[str]):
     return pd.concat(frames, ignore_index=True)
 
 
+def _winners_chunked(files: list, cols: list[str], key_cols: list[str],
+                     tiebreakers: list[str]):
+    """Per-key LWW winners over the files' rows with BOUNDED memory: fold
+    one row group at a time into a running winner frame instead of
+    concatenating every file into pandas first (round-5 verdict: a hot
+    bucket's full state landed in one Python worker).  Peak memory is
+    O(live keys in bucket + one row group), not O(all rows incl.
+    superseded).  The LWW order key is total (seq + tiebreakers), so the
+    pairwise fold equals the global reduction; exact-duplicate ties keep
+    the later chunk's row, matching the previous whole-frame stable sort
+    (keep='last' over running-then-chunk concat order)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    running = None
+    for path, schema_json in files:
+        have = {f["name"] for f in json.loads(schema_json)["fields"]}
+        want = [c for c in cols if c in have]
+        pf = pq.ParquetFile(path)
+        for rg in range(pf.metadata.num_row_groups):
+            pdf = pf.read_row_group(rg, columns=want).to_pandas()
+            for c in cols:
+                if c not in pdf.columns:
+                    pdf[c] = None
+            pdf = pdf[cols]
+            merged = (pdf if running is None
+                      else pd.concat([running, pdf], ignore_index=True))
+            running = _winners(merged, key_cols, tiebreakers)
+    if running is None:
+        return pd.DataFrame({c: [] for c in cols})
+    return running
+
+
 def _winners(pdf, key_cols: list[str], tiebreakers: list[str]):
     """Per-key LWW winner — the pandas mirror of the engine's total order
     (_seq, then each tiebreaker cast to string with NULL -> '').  Stable
@@ -272,16 +305,23 @@ class LakeChangeFeedReader(DataSourceStreamReader):
             for b in changed_buckets(lake, v_from, v_to)
         ]
 
+    # rows per emitted Arrow batch: large enough to amortize the
+    # per-batch boundary cost, small enough to bound the serialized batch
+    ARROW_BATCH_ROWS = 32_768
+
     def read(self, partition: _BucketDiffPartition):
         import pandas as pd
+        import pyarrow as pa
 
         p = partition
         meta_cols = list(
             dict.fromkeys(list(p.key_cols) + ["_seq", "_op"] + p.tiebreakers)
         )
-        old = _winners(
-            _load_aligned(p.old_files, meta_cols),
-            p.key_cols, p.tiebreakers,
+        # winners are folded one row group at a time (bounded memory; see
+        # _winners_chunked) — the round-5 shape materialized the bucket's
+        # ENTIRE old+new state in one pandas frame before reducing
+        old = _winners_chunked(
+            p.old_files, meta_cols, p.key_cols, p.tiebreakers
         )
         old = old[old["_op"] != OP_DELETE][p.key_cols + ["_seq"]].rename(
             columns={"_seq": "_old_seq"}
@@ -289,9 +329,8 @@ class LakeChangeFeedReader(DataSourceStreamReader):
         new_cols = list(
             dict.fromkeys(meta_cols + p.payload_cols)
         )
-        new = _winners(
-            _load_aligned(p.new_files, new_cols),
-            p.key_cols, p.tiebreakers,
+        new = _winners_chunked(
+            p.new_files, new_cols, p.key_cols, p.tiebreakers
         )
         new = new[new["_op"] != OP_DELETE][
             p.key_cols + ["_seq"] + p.payload_cols
@@ -315,8 +354,19 @@ class LakeChangeFeedReader(DataSourceStreamReader):
             # the outer merge float-ifies nullable int64 payload columns;
             # restore integral values for the declared LongType fields
             out[c] = out[c].map(lambda v: None if v is None else int(v))
-        for row in out.itertuples(index=False, name=None):
-            yield row
+        # emit pyarrow RecordBatches, not per-row Python tuples: the
+        # datasource API ships Arrow batches to the JVM wholesale, while
+        # tuple yield pays per-row pickling + per-row conversion (round-5
+        # verdict item; measured in bench/feed_bench.py).  The batch
+        # schema must match the declared source schema exactly.
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.declared_schema)
+        for lo in range(0, len(out), self.ARROW_BATCH_ROWS):
+            chunk = out.iloc[lo:lo + self.ARROW_BATCH_ROWS]
+            yield pa.RecordBatch.from_pandas(
+                chunk, schema=arrow_schema, preserve_index=False
+            )
 
     def commit(self, end: dict) -> None:
         pass  # Structured Streaming's checkpoint owns the offset

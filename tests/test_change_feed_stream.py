@@ -144,10 +144,19 @@ def test_readstream_source_null_keys_and_bucket_pruning(spark, tmp_path):
                  tiebreakers=TIEBREAKERS, batch_id="b2")
     v2 = lake.latest_version()
 
+    def read_rows(reader, parts):
+        # read() yields pyarrow.RecordBatches (round 6); flatten to tuples
+        return [
+            tuple(row.values())
+            for p in parts
+            for batch in reader.read(p)
+            for row in batch.to_pylist()
+        ]
+
     reader = LakeChangeFeedReader({"path": lake.root})
     parts = reader.partitions({"version": v1}, {"version": v2})
     assert 0 < len(parts) < 4  # pruned to the touched bucket(s)
-    rows = [r for p in parts for r in reader.read(p)]
+    rows = read_rows(reader, parts)
     # (repo, path, change_type, commit, lang, content, content_sha256)
     assert len(rows) == 1
     r = rows[0]
@@ -161,7 +170,7 @@ def test_readstream_source_null_keys_and_bucket_pruning(spark, tmp_path):
                  tiebreakers=TIEBREAKERS, batch_id="b3")
     v3 = lake.latest_version()
     parts = reader.partitions({"version": v2}, {"version": v3})
-    rows = [r for p in parts for r in reader.read(p)]
+    rows = read_rows(reader, parts)
     assert [(r[0], r[2]) for r in rows] == [("rN2", "insert")], (
         "unchanged NULL-keyed rN must not double-report"
     )
