@@ -1,7 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)  — flagship: salted-LWW dedup over the events stream (the
-                north-star CDC operator, A7 in SURVEY.md §2.6) at sf0.001.
+entry(spark)  — flagship: LWW dedup over the events stream (the
+                north-star CDC operator, A7 in SURVEY.md §2.6) at sf0.001;
+                one-shuffle partial-agg plan (round-6 optimization — the
+                explicit salted two-phase plan remains in operators/dedup).
 queries()     — one entry per implemented operator family from SURVEY.md §2
                 (see icdc_dataloader_spark/queries.py for the mapping).
 oracle_sql()  — matching DuckDB SQL for EVERY query registered in

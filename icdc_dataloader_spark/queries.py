@@ -132,8 +132,16 @@ LIMIT 10
 
 def lww_latest_event(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # 'agg' (one-shuffle hash aggregate with map-side partial collapse)
+    # instead of the explicit two-phase 'salted' plan: the round-4 skew
+    # bench measured partial aggregation as the structurally skew-safe AND
+    # faster plan (2.3s vs 3.5s at 32M rows) — salted pays a second
+    # shuffle that the partial phase makes redundant.  Identical rows:
+    # event_id is unique, so the per-key max is the same winner under any
+    # plan.  The explicit salted path stays covered by salted_ingest_state
+    # and the dedup test suite.
     win = dedup.lww_dedup(
-        ev, ["user_id", "event_type"], seq_col="event_id", strategy="salted"
+        ev, ["user_id", "event_type"], seq_col="event_id", strategy="agg"
     )
     return win.select(
         "user_id",
