@@ -73,9 +73,16 @@ def _range_violation(p, value: Column) -> Column:
     return cond
 
 
-def validation_error_checks(df: DataFrame, node_type: str, model: Model) -> list[Column]:
-    """One struct-or-null expression per (column, check) over raw string cells."""
-    checks: list[Column] = []
+def validation_check_pairs(
+    df: DataFrame, node_type: str, model: Model
+) -> list[tuple[Column, Column]]:
+    """One ``(violation_condition, error_struct)`` pair per (column, check)
+    over raw string cells.  Single source of truth for the checks: the
+    error-relation form (:func:`validation_error_checks`) and the hot
+    ingest path's boolean form (cdc._annotate_fast — which ORs just the
+    conditions, keeping the whole row-validity test inside whole-stage
+    codegen) are both assembled from this list, so they cannot drift."""
+    checks: list[tuple[Column, Column]] = []
     props = model.props_of(node_type)
     present = set(df.columns)
 
@@ -84,10 +91,10 @@ def validation_error_checks(df: DataFrame, node_type: str, model: Model) -> list
             continue  # header-level: see validate_header
         c = F.col(prop)
         checks.append(
-            F.when(
+            (
                 c.isNull() | (c.cast("string") == ""),
                 _err(prop, c, REASON_VALUE_EMPTY),
-            ).otherwise(_null_err())
+            )
         )
 
     for name, p in props.items():
@@ -98,50 +105,46 @@ def validation_error_checks(df: DataFrame, node_type: str, model: Model) -> list
         if p.type == "Int":
             t = _pytrim(c)
             bad = nonempty & ~t.rlike(_INT_RE)
-            checks.append(F.when(bad, _err(name, c, REASON_WRONG_TYPE)).otherwise(_null_err()))
+            checks.append((bad, _err(name, c, REASON_WRONG_TYPE)))
             if any(
                 x is not None
                 for x in (p.minimum, p.maximum, p.exclusive_minimum, p.exclusive_maximum)
             ):
                 v = F.regexp_replace(t, "_", "").cast("double")
                 checks.append(
-                    F.when(
+                    (
                         nonempty & t.rlike(_INT_RE) & _range_violation(p, v),
                         _err(name, c, REASON_OUT_OF_RANGE),
-                    ).otherwise(_null_err())
+                    )
                 )
         elif p.type == "Float":
             t = _pytrim(c)
             ok = t.rlike(_NUM_RE) | t.rlike(r"(?i)^[+-]?(inf(inity)?|nan)$")
-            checks.append(
-                F.when(nonempty & ~ok, _err(name, c, REASON_WRONG_TYPE)).otherwise(
-                    _null_err()
-                )
-            )
+            checks.append((nonempty & ~ok, _err(name, c, REASON_WRONG_TYPE)))
             if any(
                 x is not None
                 for x in (p.minimum, p.maximum, p.exclusive_minimum, p.exclusive_maximum)
             ):
                 v = F.regexp_replace(t, "_", "").cast("double")
                 checks.append(
-                    F.when(
+                    (
                         nonempty & ok & _range_violation(p, v),
                         _err(name, c, REASON_OUT_OF_RANGE),
-                    ).otherwise(_null_err())
+                    )
                 )
         elif p.type == "Boolean":
             checks.append(
-                F.when(
+                (
                     nonempty & ~c.rlike(_BOOL_VALID_RE),
                     _err(name, c, REASON_WRONG_TYPE),
-                ).otherwise(_null_err())
+                )
             )
         elif p.enum is not None:
             checks.append(
-                F.when(
+                (
                     nonempty & ~c.isin(*sorted(p.enum)),
                     _err(name, c, REASON_NON_PERMISSIVE),
-                ).otherwise(_null_err())
+                )
             )
         elif p.type == "Array" and p.item_enum is not None:
             items = F.filter(
@@ -153,12 +156,20 @@ def validation_error_checks(df: DataFrame, node_type: str, model: Model) -> list
             )
             bad_item = F.array_except(items, F.array(*[F.lit(v) for v in sorted(p.item_enum)]))
             checks.append(
-                F.when(
+                (
                     nonempty & (F.size(bad_item) > 0),
                     _err(name, F.element_at(bad_item, 1), REASON_NON_PERMISSIVE),
-                ).otherwise(_null_err())
+                )
             )
     return checks
+
+
+def validation_error_checks(df: DataFrame, node_type: str, model: Model) -> list[Column]:
+    """One struct-or-null expression per (column, check) over raw string cells."""
+    return [
+        F.when(cond, err).otherwise(_null_err())
+        for cond, err in validation_check_pairs(df, node_type, model)
+    ]
 
 
 def validation_errors(

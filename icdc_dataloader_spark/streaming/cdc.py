@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..model import Model
 from ..operators.dedup import lww_dedup
-from ..operators.validate import validation_error_checks
+from ..operators.validate import validation_check_pairs, validation_error_checks
 from ..plans.lake import LakeTable, bucket_expr
 from ..plans.merge import OP_DELETE, append_delta, compact, merge_into
 from .ledger import CheckpointLedger
@@ -201,11 +201,8 @@ class CDCPipeline:
             if checks
             else F.array().cast(f"array<{err_struct}>")
         )
-        key_null = F.lit(False)
-        for k in self.key_cols:
-            key_null = key_null | F.col(k).isNull()
         delete_errs = F.when(
-            key_null,
+            self._key_null(),
             F.array(
                 F.struct(
                     F.lit(",".join(self.key_cols)).alias("property"),
@@ -219,6 +216,47 @@ class CDCPipeline:
         return (
             batch_df.withColumn(
                 "_errs", F.when(is_delete, delete_errs).otherwise(upsert_errs)
+            )
+            .withColumn(
+                "content_sha256",
+                F.when(
+                    ~is_delete,
+                    F.sha2(F.coalesce(F.col(self.content_col), F.lit("")), 256),
+                ),
+            )
+            .withColumn("_bucket", bucket_expr(self.key_cols, self.lake.n_buckets()))
+        )
+
+    def _key_null(self) -> F.Column:
+        key_null = F.lit(False)
+        for k in self.key_cols:
+            key_null = key_null | F.col(k).isNull()
+        return key_null
+
+    def _annotate_fast(self, batch_df: DataFrame) -> DataFrame:
+        """Hot-path variant of :meth:`_annotate` (round 6, guide §4 spirit):
+        the apply path only needs a PER-ROW BOOLEAN (quarantine or not) —
+        the counts and the min quarantined seq are aggregates of it — yet
+        ``_errs`` built a 4-field struct per check and filtered the array
+        through an interpreted higher-order lambda for every row.  Here the
+        same check CONDITIONS (one source of truth:
+        validation_check_pairs) are OR-ed into one codegen'd boolean
+        ``_bad``; the error structs are only materialized on the rare
+        quarantine path, which still calls :meth:`_annotate`.  A condition
+        evaluating NULL means "no violation" (matches F.when's
+        false-on-NULL in the _errs form), hence the coalesce."""
+        bad = F.lit(False)
+        if self.model is not None:
+            for cond, _err in validation_check_pairs(
+                batch_df, self.node_type, self.model
+            ):
+                bad = bad | cond
+        upsert_bad = F.coalesce(bad, F.lit(False))
+        is_delete = F.col(self.op_col) == OP_DELETE
+        return (
+            batch_df.withColumn(
+                "_bad",
+                F.when(is_delete, self._key_null()).otherwise(upsert_bad),
             )
             .withColumn(
                 "content_sha256",
@@ -309,18 +347,18 @@ class CDCPipeline:
             else None
         )
 
-        annotated = self._annotate(batch_df)
-        ok = F.size("_errs") == 0
+        annotated = self._annotate_fast(batch_df)
+        bad = F.col("_bad")
         obs = Observation()
         annotated = annotated.observe(
             obs,
-            F.sum(F.when(~ok, 1).otherwise(0)).alias("n_bad"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),
             # min seq over quarantined rows: a GC-watermark hold (recorded
             # in the ledger) — free, same observation the write job fills
-            F.min(F.when(~ok, F.col(self.seq_col))).alias("min_bad_seq"),
+            F.min(F.when(bad, F.col(self.seq_col))).alias("min_bad_seq"),
         )
 
-        valid = annotated.filter(ok).drop("_errs")
+        valid = annotated.filter(~bad).drop("_bad")
         if spc:
             # per-source-partition max seq over APPLIED rows only (tiny
             # agg: one row per partition).  Quarantined rows must not

@@ -222,3 +222,53 @@ def test_feed_read_emits_multiple_arrow_batches(spark, tmp_path):
     rows = [row for b in batches for row in b.to_pylist()]
     assert {r["repo"] for r in rows} == {f"r{i}" for i in range(25)}
     assert all(r["change_type"] == "insert" for r in rows)
+
+
+def test_annotate_fast_bad_matches_errs_across_check_types(spark, tmp_path):
+    """The hot-path boolean (_annotate_fast._bad) must flag exactly the
+    rows the error-relation form (_annotate._errs) flags — both are
+    assembled from validation_check_pairs, and this pins the assembly
+    across every check family the repos model exercises: required
+    value_empty, enum, Int wrong_type, Int out_of_range, array item
+    enum, delete-with-NULL-key (V7), and clean upserts/deletes."""
+    from icdc_dataloader_spark.repos import make_pipeline
+
+    pipe = make_pipeline(spark, str(tmp_path / "out"), n_buckets=4)
+    schema = (
+        "repo string, path string, commit string, lang string,"
+        " content string, stars string, topics string, seq long, op string"
+    )
+    rows = [
+        # clean upsert
+        ("r1", "p1", "c1", "python", "x", "10", "web|ml", 1, "upsert"),
+        # required value_empty (repo NULL / path empty)
+        (None, "p2", "c2", "python", "x", "1", "web", 2, "upsert"),
+        ("r3", "", "c3", "python", "x", "1", "web", 3, "upsert"),
+        # enum violation (lang)
+        ("r4", "p4", "c4", "perl", "x", "1", "web", 4, "upsert"),
+        # Int wrong_type + out_of_range (stars: 0..1000000)
+        ("r5", "p5", "c5", "go", "x", "ten", "web", 5, "upsert"),
+        ("r6", "p6", "c6", "go", "x", "2000000", "web", 6, "upsert"),
+        # array item enum violation (topics)
+        ("r7", "p7", "c7", "go", "x", "1", "web|bogus", 7, "upsert"),
+        # delete with NULL key component vs clean delete (enum damage on a
+        # delete row must NOT quarantine it: deletes only need their key)
+        (None, "p8", None, None, None, None, None, 8, "delete"),
+        ("r9", "p9", None, "perl", None, "ten", "bogus", 9, "delete"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    slow = pipe._annotate(df).select(
+        "seq", (F.size("_errs") > 0).alias("bad")
+    )
+    fast = pipe._annotate_fast(df).select("seq", F.col("_bad").alias("bad"))
+    slow_map = {r["seq"]: r["bad"] for r in slow.collect()}
+    fast_map = {r["seq"]: r["bad"] for r in fast.collect()}
+    assert slow_map == fast_map
+    assert slow_map == {
+        1: False, 2: True, 3: True, 4: True, 5: True, 6: True, 7: True,
+        8: True, 9: False,
+    }
+    # the parity/bucket companions must be identical too
+    a = pipe._annotate(df).select("seq", "content_sha256", "_bucket")
+    b = pipe._annotate_fast(df).select("seq", "content_sha256", "_bucket")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
