@@ -21,8 +21,15 @@ EN_STOPWORDS = [
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens; empty string -> empty array."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    """Whitespace tokens; empty string -> empty array.
+
+    array_remove rather than a filter() lambda: higher-order-function
+    lambdas run on the interpreted expression evaluator, while
+    array_remove stays inside whole-stage codegen.  Identical values:
+    split never yields NULL elements, and after trim the only empty
+    token is the lone "" a fully-empty string produces — both forms
+    drop exactly the "" elements, preserving order (round 6)."""
+    return F.array_remove(F.split(F.trim(col), r"\s+"), "")
 
 
 def token_count(col: Column) -> Column:

@@ -576,7 +576,10 @@ def token_count_quality(spark, sf_dir):
     )
     t, lt = F.col("_t"), F.col("_lt")
     n = F.size(t)
-    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    # sum of token lengths == length of the concatenation (tokens are
+    # never NULL): length(array_join) stays in codegen where the
+    # aggregate() lambda ran interpreted (round 6)
+    total = F.length(F.array_join(t, ""))
     mean = F.when(n > 0, total / n.cast("double")).otherwise(F.lit(0.0))
     sw = F.array(*[F.lit(s) for s in TXT.EN_STOPWORDS])
     ln = F.size(lt)
