@@ -454,7 +454,7 @@ class CDCPipeline:
             )
             # COW lineage: per-bucket min/max applied seq (separate small agg)
             lineage_rows = (
-                annotated.filter(ok)
+                annotated.filter(~bad)
                 .groupBy("_bucket")
                 .agg(
                     F.min(self.seq_col).alias("min_seq"),

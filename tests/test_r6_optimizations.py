@@ -272,3 +272,32 @@ def test_annotate_fast_bad_matches_errs_across_check_types(spark, tmp_path):
     a = pipe._annotate(df).select("seq", "content_sha256", "_bucket")
     b = pipe._annotate_fast(df).select("seq", "content_sha256", "_bucket")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cow_apply_writes_quarantine_errors_first_try(spark, tmp_path):
+    """Regression guard for the round-6 hot-path boolean: the COW apply
+    must succeed on the FIRST attempt (not via the retry + crash-heal
+    path, which silently loses metrics and the quarantine error files)
+    and must write the quarantined rows' error relation."""
+    import os
+
+    from icdc_dataloader_spark.repos import make_pipeline
+
+    pipe = make_pipeline(spark, str(tmp_path / "out"), n_buckets=4)
+    schema = (
+        "repo string, path string, commit string, lang string,"
+        " content string, seq long, op string"
+    )
+    rows = [
+        ("r1", "p1", "c1", "python", "x", 1, "upsert"),
+        ("r2", "p2", "c2", "perl", "x", 2, "upsert"),    # enum violation
+        (None, "p3", "c3", "python", "x", 3, "upsert"),  # required empty
+    ]
+    res = pipe.apply_batch(spark.createDataFrame(rows, schema), 0)
+    assert res["noop"] is False  # first attempt, not a heal of a retry
+    assert res["metrics"]["rows_quarantined"] == 2
+    assert res["metrics"]["rows_inserted"] == 1
+    err = spark.read.parquet(str(tmp_path / "out" / "errors" / "batch=0"))
+    got = {(r["row_id"], r["reason"]) for r in err.collect()}
+    assert got == {(2, "non_permissive_value"), (3, "value_empty")}
+    assert pipe.ledger.quarantine_holds() == {"0": 2}
